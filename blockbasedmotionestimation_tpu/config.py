@@ -1,0 +1,104 @@
+"""Configuration for the TPU-native block-matching motion-estimation engine.
+
+The reference program hardwires every parameter in source (search/block sizes and
+level count at ``main_class.cpp:19-21``, interpolation factor at ``:32-33``, the
+regularization schedule at ``motion_framework.cpp:141-152``).  Here they are a
+first-class frozen dataclass so configs hash cleanly into ``jax.jit`` static
+arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal, Sequence
+
+CostKind = Literal["sad", "ssd"]
+RegularizerMode = Literal["exact", "fourcolor", "jacobi"]
+SearchImpl = Literal["xla", "pallas"]
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionConfig:
+    """Full configuration of the coarse-to-fine block-matching pipeline.
+
+    Defaults replicate the reference's shipped Middlebury configuration
+    (``main_class.cpp:19-21``): 4 pyramid levels, 32x32 blocks, 64px search
+    windows, 4x pre-interpolation for quarter-pel output.
+
+    Attributes:
+      block_sizes: per-level block edge (level 0 = finest). Powers of two >= 2.
+      search_sizes: per-level search window edge; ``shift = search - block``
+        defines the spiral extent (``motion_framework.cpp:299``).
+      interp_factor: integer pre-upsampling factor applied to both frames before
+        estimation; output MVs are divided back down (``main_class.cpp:32-70``).
+      cost: matching cost. ``sad`` is the reference's ``cv::norm(NORM_L1)``;
+        ``ssd`` is the MXU-friendly alternative (correlation term on the
+        systolic array).
+      regularizer: sweep scheduling for the 8-connected smoothness pass.
+        ``exact``     - wavefront Gauss-Seidel, bit-exact with the reference's
+                        in-place raster sweeps (``motion_framework.cpp:616``).
+        ``fourcolor`` - 4-color Gauss-Seidel (parallel within a color); fast,
+                        near-identical quality, NOT bit-exact.
+        ``jacobi``    - fully parallel sweeps reading the previous iterate.
+      sweeps_per_round: regularization sweeps per block-subdivision round; the
+        reference does 2 with lambda_multiplier = sweep_index + 1
+        (``motion_framework.cpp:143-146``).
+      lambda_scale: initial lambda = block_size * lambda_scale
+        (reference: block_size / 2, ``motion_framework.cpp:73``), doubled on
+        each subdivision (``:151``).
+    """
+
+    block_sizes: tuple[int, ...] = (32, 32, 32, 32)
+    search_sizes: tuple[int, ...] = (64, 64, 64, 64)
+    interp_factor: int = 4
+    cost: CostKind = "sad"
+    regularizer: RegularizerMode = "fourcolor"
+    sweeps_per_round: int = 2
+    lambda_scale: float = 0.5
+    search_impl: SearchImpl = "xla"
+
+    def __post_init__(self) -> None:
+        if len(self.block_sizes) != len(self.search_sizes):
+            raise ValueError(
+                "block_sizes and search_sizes must have the same length, got "
+                f"{len(self.block_sizes)} vs {len(self.search_sizes)}"
+            )
+        if not self.block_sizes:
+            raise ValueError("need at least one pyramid level")
+        for bs, ss in zip(self.block_sizes, self.search_sizes):
+            if bs < 2 or bs & (bs - 1):
+                raise ValueError(f"block size must be a power of two >= 2, got {bs}")
+            if ss < bs:
+                raise ValueError(f"search size {ss} must be >= block size {bs}")
+        if self.interp_factor < 1:
+            raise ValueError("interp_factor must be >= 1")
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.block_sizes)
+
+    def shift(self, level: int) -> int:
+        """Search extent: reference ``shift = search_size - block_size``."""
+        return self.search_sizes[level] - self.block_sizes[level]
+
+    def replace(self, **kw) -> "MotionConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def middlebury_config(**overrides) -> MotionConfig:
+    """The reference's shipped configuration (``main_class.cpp:19-21``)."""
+    return MotionConfig(**overrides)
+
+
+def tiny_config(
+    block_sizes: Sequence[int] = (8, 8),
+    search_sizes: Sequence[int] = (16, 16),
+    **overrides,
+) -> MotionConfig:
+    """Small config for unit tests and CPU smoke runs."""
+    overrides.setdefault("interp_factor", 1)
+    return MotionConfig(
+        block_sizes=tuple(block_sizes),
+        search_sizes=tuple(search_sizes),
+        **overrides,
+    )
