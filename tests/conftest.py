@@ -2,17 +2,27 @@
 
 Multi-chip sharding logic is validated without a pod by forcing the host
 platform to expose 8 virtual devices, per the standard JAX testing recipe.
-Environment variables must be set before jax is first imported.
+
+Note: this environment pre-registers a remote-TPU PJRT plugin ("axon") from a
+sitecustomize hook and pins ``jax_platforms`` before conftest runs, so the
+plain ``JAX_PLATFORMS=cpu`` env-var recipe does not take effect (and setting
+``XLA_FLAGS`` in the process environment before interpreter start hangs the
+plugin's registration).  The working order is: set XLA_FLAGS in-process,
+then override the platform through ``jax.config`` before any backend is
+initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
