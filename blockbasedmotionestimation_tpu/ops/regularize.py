@@ -1,0 +1,271 @@
+"""8-connected MV regularization sweeps (reference ``motion_framework.cpp:424-662``).
+
+Per block, the reference gathers a candidate list (own MV first, then up to 8
+neighbors' MVs, with 9 border cases each having its own candidate ordering),
+scores Energy(c) = SAD(block at p, block at p+c) + lambda*mult*Smoothness(c)
+with Smoothness(c) = sum_j |c - c_j|_1 over the candidate list, and adopts the
+first strict minimum - updating the flow field IN PLACE so later raster
+positions see earlier updates (Gauss-Seidel, ``:616``).
+
+Three scheduling modes re-express this on TPU:
+
+  * ``jacobi``    - every block updates from the previous iterate in one
+                    batched pass.  Fully parallel, not bit-exact.
+  * ``fourcolor`` - blocks are colored by (block_row % 2, block_col % 2); the
+                    4 colors update sequentially, each color in parallel.  An
+                    8-connected Gauss-Seidel with the same per-sweep work as
+                    one Jacobi pass; converges like the reference but visits
+                    in a different order, so not bit-exact.
+  * ``exact``     - a sequential raster scan (lax.scan over blocks) matching
+                    the reference's in-place sweep bit for bit.  For oracle
+                    parity tests and small frames.
+
+Tie-breaks are reproduced exactly in all modes: each border case's candidate
+ordering becomes a static rank table and the winner is the lexicographic
+(energy, rank) minimum - identical to "first strict min" over the ordered list
+(``min_energy_candidate``, ``:646-662``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blockbasedmotionestimation_tpu.ops.search import extract_blocks
+
+_F32_MAX = np.float32(np.finfo(np.float32).max)
+_BIG_RANK = np.int32(127)
+
+# Canonical candidate slots, in the INTERIOR ordering (motion_framework.cpp:439-450):
+# own MV first, then the 8 neighbors in the reference's gather order.
+SLOTS: tuple[tuple[int, int], ...] = (
+    (0, 0), (0, -1), (0, 1), (1, 1), (-1, -1), (-1, 1), (-1, 0), (1, 0), (1, -1),
+)
+_SLOT_INDEX = {s: k for k, s in enumerate(SLOTS)}
+
+# Border-case candidate orderings (:439-522), each a distinct tie-break order.
+_CASE_ORDERINGS: tuple[tuple[tuple[int, int], ...], ...] = (
+    SLOTS,  # 0 interior
+    ((0, 0), (0, -1), (0, 1), (1, 1), (1, 0), (1, -1)),     # 1 top row
+    ((0, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (-1, 0)),  # 2 bottom row
+    ((0, 0), (0, 1), (1, 1), (-1, 1), (-1, 0), (1, 0)),     # 3 left col
+    ((0, 0), (0, -1), (-1, -1), (-1, 0), (1, 0), (1, -1)),  # 4 right col
+    ((0, 0), (0, 1), (1, 1), (1, 0)),                        # 5 top-left
+    ((0, 0), (0, -1), (1, 0), (1, -1)),                      # 6 top-right
+    ((0, 0), (0, 1), (-1, 1), (-1, 0)),                      # 7 bottom-left
+    ((0, 0), (0, -1), (-1, -1), (-1, 0)),                    # 8 bottom-right
+)
+
+
+def _rank_table() -> np.ndarray:
+    """(9 cases, 9 slots) int32: visit rank of each slot per border case,
+    _BIG_RANK when the slot is not in that case's candidate list."""
+    table = np.full((9, 9), _BIG_RANK, dtype=np.int32)
+    for case, ordering in enumerate(_CASE_ORDERINGS):
+        for rank, slot in enumerate(ordering):
+            table[case, _SLOT_INDEX[slot]] = rank
+    return table
+
+
+_RANK_TABLE = _rank_table()
+
+
+def _border_case(i: jnp.ndarray, j: jnp.ndarray, nby: int, nbx: int) -> jnp.ndarray:
+    """Reference if-chain (:439-522) in block units; i, j broadcastable int32."""
+    interior = (i > 0) & (i < nby - 1) & (j > 0) & (j < nbx - 1)
+    top = (i == 0) & (j > 0) & (j < nbx - 1)
+    bottom = (i == nby - 1) & (j > 0) & (j < nbx - 1)
+    left = (j == 0) & (i > 0) & (i < nby - 1)
+    right = (j == nbx - 1) & (i > 0) & (i < nby - 1)
+    tl = (i == 0) & (j == 0)
+    tr = i == 0
+    bl = j == 0
+    case = jnp.full(jnp.broadcast_shapes(i.shape, j.shape), 8, dtype=jnp.int32)
+    case = jnp.where(bl, 7, case)
+    case = jnp.where(tr, 6, case)
+    case = jnp.where(tl, 5, case)
+    case = jnp.where(right, 4, case)
+    case = jnp.where(left, 3, case)
+    case = jnp.where(bottom, 2, case)
+    case = jnp.where(top, 1, case)
+    case = jnp.where(interior, 0, case)
+    return case
+
+
+def _select_lexicographic(energy: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
+    """First-strict-min over the case ordering == argmin of (energy, rank).
+
+    energy, rank: (..., 9).  Returns (...,) winning slot indices.
+    """
+    e_min = jnp.min(energy, axis=-1, keepdims=True)
+    rank_sel = jnp.where(energy == e_min, rank, _BIG_RANK)
+    return jnp.argmin(rank_sel, axis=-1)
+
+
+def _energies(
+    im1_blocks: jnp.ndarray,  # (m, n, bs, bs) int16 source blocks
+    im2: jnp.ndarray,         # (H, W) uint8
+    cands: jnp.ndarray,       # (m, n, 9, 2) float32 candidate MVs
+    present: jnp.ndarray,     # (m, n, 9) bool
+    oy: jnp.ndarray,          # (m, n) int32 block origin rows
+    ox: jnp.ndarray,          # (m, n) int32 block origin cols
+    bs: int,
+    lam_mult: jnp.ndarray,    # f32 scalar: lambda * lambda_multiplier
+) -> jnp.ndarray:
+    """(m, n, 9) float32 candidate energies (find_min_candidate, :532-621)."""
+    h, w = im2.shape
+    m, n = oy.shape
+    # target block positions: origin + (int)-truncated candidate (:560-575)
+    tx = ox[..., None] + cands[..., 0].astype(jnp.int32)  # (m, n, 9)
+    ty = oy[..., None] + cands[..., 1].astype(jnp.int32)
+    in_img = (tx >= 0) & (tx <= w - bs) & (ty >= 0) & (ty <= h - bs)  # (:578-582)
+
+    im2_i16 = im2.astype(jnp.int16)
+
+    def slice_one(y, x):
+        return jax.lax.dynamic_slice(im2_i16, (y, x), (bs, bs))
+
+    tgt = jax.vmap(slice_one)(
+        jnp.clip(ty, 0, h - bs).reshape(-1), jnp.clip(tx, 0, w - bs).reshape(-1)
+    ).reshape(m, n, 9, bs, bs)
+    sad = jnp.sum(
+        jnp.abs(im1_blocks[:, :, None] - tgt), axis=(-1, -2), dtype=jnp.int32
+    )
+
+    # smoothness: sum over PRESENT candidates of |c_i - c_j|_1 (:623-644)
+    du = jnp.abs(cands[..., None, 0] - cands[..., None, :, 0])  # (m, n, 9, 9)
+    dv = jnp.abs(cands[..., None, 1] - cands[..., None, :, 1])
+    smooth = jnp.sum((du + dv) * present[..., None, :].astype(jnp.float32), axis=-1)
+
+    energy = sad.astype(jnp.float32) + lam_mult * smooth  # (:607)
+    return jnp.where(present & in_img, energy, _F32_MAX)
+
+
+def _update_subset(
+    im1: jnp.ndarray,
+    im2: jnp.ndarray,
+    grid: jnp.ndarray,
+    bs: int,
+    lam_mult: jnp.ndarray,
+    iy: np.ndarray,  # static (m,) block-row indices to update
+    jx: np.ndarray,  # static (n,) block-col indices to update
+) -> jnp.ndarray:
+    """Evaluate and apply the candidate update for the (iy x jx) block subset."""
+    nby, nbx = grid.shape[:2]
+    m, n = len(iy), len(jx)
+    ii = jnp.asarray(iy, dtype=jnp.int32)[:, None]  # (m, 1)
+    jj = jnp.asarray(jx, dtype=jnp.int32)[None, :]  # (1, n)
+
+    # candidate MVs: padded-grid gather per slot (edge padding is masked out)
+    gp = jnp.pad(grid, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    cands = jnp.stack(
+        [gp[ii + 1 + dy, jj + 1 + dx] for dy, dx in SLOTS], axis=2
+    )  # (m, n, 9, 2)
+
+    case = _border_case(ii, jj, nby, nbx)  # (m, n)
+    rank = jnp.asarray(_RANK_TABLE)[case]  # (m, n, 9)
+    present = rank < _BIG_RANK
+    # guard degenerate grids (single block row/col) the reference never hits
+    for k, (dy, dx) in enumerate(SLOTS):
+        ok = (ii + dy >= 0) & (ii + dy < nby) & (jj + dx >= 0) & (jj + dx < nbx)
+        present = present.at[..., k].set(present[..., k] & ok)
+
+    blocks = extract_blocks(im1, bs).astype(jnp.int16).reshape(nby, nbx, bs, bs)
+    im1_blocks = blocks[ii, jj]  # (m, n, bs, bs)
+    oy = (ii * bs).astype(jnp.int32) + jnp.zeros((m, n), jnp.int32)
+    ox = (jj * bs).astype(jnp.int32) + jnp.zeros((m, n), jnp.int32)
+
+    energy = _energies(im1_blocks, im2, cands, present, oy, ox, bs, lam_mult)
+    winner = _select_lexicographic(energy, rank)  # (m, n)
+    new_mv = jnp.take_along_axis(cands, winner[..., None, None], axis=2)[:, :, 0]
+    return grid.at[ii, jj].set(new_mv)
+
+
+@partial(jax.jit, static_argnames=("bs", "mode"))
+def regularize_sweep(
+    im1: jnp.ndarray,
+    im2: jnp.ndarray,
+    grid: jnp.ndarray,
+    bs: int,
+    lam: jnp.ndarray,
+    mult: jnp.ndarray,
+    mode: str = "fourcolor",
+) -> jnp.ndarray:
+    """One regularization sweep over the (nby, nbx, 2) MV grid."""
+    lam_mult = jnp.float32(lam) * jnp.float32(mult)
+    nby, nbx = grid.shape[:2]
+    if mode == "jacobi":
+        return _update_subset(
+            im1, im2, grid, bs, lam_mult, np.arange(nby), np.arange(nbx)
+        )
+    if mode == "fourcolor":
+        for ci in (0, 1):
+            for cj in (0, 1):
+                iy = np.arange(ci, nby, 2)
+                jx = np.arange(cj, nbx, 2)
+                if len(iy) and len(jx):
+                    grid = _update_subset(im1, im2, grid, bs, lam_mult, iy, jx)
+        return grid
+    if mode == "exact":
+        return _regularize_exact(im1, im2, grid, bs, lam_mult)
+    raise ValueError(f"unknown regularizer mode: {mode}")
+
+
+def _regularize_exact(
+    im1: jnp.ndarray,
+    im2: jnp.ndarray,
+    grid: jnp.ndarray,
+    bs: int,
+    lam_mult: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sequential raster Gauss-Seidel, bit-exact with the in-place sweep (:616).
+
+    lax.scan over blocks in raster order; the carry is the 1-padded grid so
+    each step reads its already-updated west/north neighbors.
+    """
+    nby, nbx = grid.shape[:2]
+    h, w = im1.shape
+    blocks = extract_blocks(im1, bs).astype(jnp.int16)  # (nblk, bs, bs)
+    im2_i16 = im2.astype(jnp.int16)
+    rank_table = jnp.asarray(_RANK_TABLE)
+    slots = jnp.asarray(SLOTS, dtype=jnp.int32)  # (9, 2) as (dy, dx)
+
+    def step(gp, k):
+        i = k // nbx
+        j = k % nbx
+        # 3x3 candidate window around (i, j) in padded coords
+        win = jax.lax.dynamic_slice(gp, (i, j, 0), (3, 3, 2))  # (3, 3, 2)
+        cands = win[slots[:, 0] + 1, slots[:, 1] + 1]  # (9, 2) in slot order
+        case = _border_case(i[None], j[None], nby, nbx)[0]
+        rank = rank_table[case]  # (9,)
+        present = rank < _BIG_RANK
+
+        tx = j * bs + cands[:, 0].astype(jnp.int32)
+        ty = i * bs + cands[:, 1].astype(jnp.int32)
+        in_img = (tx >= 0) & (tx <= w - bs) & (ty >= 0) & (ty <= h - bs)
+        src = blocks[k]
+
+        def sad_one(y, x):
+            tgt = jax.lax.dynamic_slice(im2_i16, (y, x), (bs, bs))
+            return jnp.sum(jnp.abs(src - tgt), dtype=jnp.int32)
+
+        sad = jax.vmap(sad_one)(jnp.clip(ty, 0, h - bs), jnp.clip(tx, 0, w - bs))
+
+        pm = present.astype(jnp.float32)
+        du = jnp.abs(cands[:, None, 0] - cands[None, :, 0])
+        dv = jnp.abs(cands[:, None, 1] - cands[None, :, 1])
+        smooth = jnp.sum((du + dv) * pm[None, :], axis=-1)
+        energy = jnp.where(
+            present & in_img, sad.astype(jnp.float32) + lam_mult * smooth, _F32_MAX
+        )
+        winner = _select_lexicographic(energy, rank)
+        new_mv = cands[winner]
+        gp = jax.lax.dynamic_update_slice(gp, new_mv[None, None], (i + 1, j + 1, 0))
+        return gp, None
+
+    gp0 = jnp.pad(grid, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    gp, _ = jax.lax.scan(step, gp0, jnp.arange(nby * nbx, dtype=jnp.int32))
+    return gp[1:-1, 1:-1]

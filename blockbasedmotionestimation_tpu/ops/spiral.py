@@ -83,6 +83,27 @@ def spiral_rank(shift: int) -> np.ndarray:
     return np.frombuffer(data, dtype=np.int32).reshape(side, side).copy()
 
 
+@functools.lru_cache(maxsize=None)
+def spiral_offsets(shift: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Deduplicated (dy, dx) offsets in first-visit order, plus extent S.
+
+    The returned arrays enumerate every cell of the [-S, S]^2 square exactly
+    once, ordered by spiral visit rank - scanning them in order with a
+    strict-< argmin update reproduces the reference walk's tie-breaks.
+    """
+    visits = spiral_visits(shift)
+    seen: set[tuple[int, int]] = set()
+    dys, dxs = [], []
+    for dy, dx in visits:
+        if (dy, dx) not in seen:
+            seen.add((dy, dx))
+            dys.append(dy)
+            dxs.append(dx)
+    ext = spiral_extent(shift)
+    assert len(dys) == (2 * ext + 1) ** 2, "spiral must tile its square"
+    return np.asarray(dys, dtype=np.int32), np.asarray(dxs, dtype=np.int32), ext
+
+
 def spiral_visits(shift: int) -> list[tuple[int, int]]:
     """The raw (dy, dx) visit sequence, for oracle tests."""
     visits: list[tuple[int, int]] = [(0, 0)]

@@ -1,0 +1,136 @@
+"""Bit-exactness of the JAX engine against the sequential NumPy oracle.
+
+The oracle (models/oracle.py) faithfully re-derives the C++ reference; the
+JAX engine in "exact" regularizer mode must reproduce its MV fields to the
+bit on small random frames across configs. The fast parallel modes are held
+to quality (EPE) parity instead.
+"""
+
+import numpy as np
+import pytest
+
+from blockbasedmotionestimation_tpu.config import MotionConfig, tiny_config
+from blockbasedmotionestimation_tpu.models import engine, oracle
+from blockbasedmotionestimation_tpu.ops import pad as pad_ops
+from blockbasedmotionestimation_tpu.ops.regularize import regularize_sweep
+from blockbasedmotionestimation_tpu.ops.search import block_search_level
+
+
+def _pair(rng, h, w, dy=2, dx=-3, margin=8):
+    """Random base image and a translated crop pair with ground-truth flow."""
+    base = rng.integers(0, 256, size=(h + 2 * margin, w + 2 * margin), dtype=np.uint8)
+    im1 = base[margin : margin + h, margin : margin + w]
+    im2 = base[margin + dy : margin + dy + h, margin + dx : margin + dx + w]
+    return im1, im2
+
+
+# ---------------------------------------------------------------- block search
+
+
+@pytest.mark.parametrize("bs,ss", [(4, 8), (4, 12), (8, 16)])
+def test_block_search_matches_oracle(rng, bs, ss):
+    h, w = 32, 40
+    im1, im2 = _pair(rng, h, w)
+    # random integer prediction grid, some of it deliberately OOB
+    nby, nbx = h // bs, w // bs
+    pred = rng.integers(-6, 7, size=(nby, nbx, 2)).astype(np.float32)
+    pred[0, 0] = (1000.0, 1000.0)  # forces the zero-MV early-out
+
+    got = np.asarray(block_search_level(im1, im2, pred, bs, ss))
+
+    flow = np.zeros((h, w, 2), dtype=np.float32)
+    for i in range(nby):
+        for j in range(nbx):
+            flow[i * bs, j * bs] = pred[i, j]
+    oracle.calc_level_bm(im1, im2, flow, bs, ss)
+    want = flow[::bs, ::bs]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_block_search_zero_pred_recovers_translation(rng):
+    im1, im2 = _pair(rng, 32, 32, dy=1, dx=2, margin=8)
+    pred = np.zeros((4, 4, 2), dtype=np.float32)
+    got = np.asarray(block_search_level(im1, im2, pred, 8, 16))
+    # interior blocks must find the exact translation (u=-2, v=-1 convention:
+    # im1 content at (y,x) sits at (y-1, x-2) in im2)
+    assert (got[1:3, 1:3, 0] == -2).all()
+    assert (got[1:3, 1:3, 1] == -1).all()
+
+
+# ------------------------------------------------------------- regularization
+
+
+@pytest.mark.parametrize("bs", [2, 4])
+def test_exact_sweep_matches_oracle(rng, bs):
+    h, w = 24, 32
+    im1, im2 = _pair(rng, h, w)
+    nby, nbx = h // bs, w // bs
+    grid = rng.integers(-3, 4, size=(nby, nbx, 2)).astype(np.float32)
+
+    got = np.asarray(
+        regularize_sweep(im1, im2, grid.copy(), bs, np.float32(bs / 2), np.float32(2), "exact")
+    )
+
+    flow = np.zeros((h, w, 2), dtype=np.float32)
+    flow[::bs, ::bs] = grid
+    oracle.regularize_mvs(im1, im2, flow, bs, np.float32(bs / 2), 2)
+    want = flow[::bs, ::bs]
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mode", ["fourcolor", "jacobi"])
+def test_parallel_sweeps_smooth_outliers(rng, mode):
+    # a constant-motion pair: regularization must pull a planted outlier MV
+    # toward the true translation
+    im1, im2 = _pair(rng, 24, 32, dy=0, dx=1)
+    grid = np.full((6, 8, 2), (-1.0, 0.0), dtype=np.float32)
+    grid[2, 3] = (5.0, -5.0)
+    out = np.asarray(regularize_sweep(im1, im2, grid, 4, np.float32(2.0), np.float32(1), mode))
+    assert tuple(out[2, 3]) == (-1.0, 0.0)
+
+
+# ------------------------------------------------------------------ end-to-end
+
+
+@pytest.mark.parametrize(
+    "cfgkw",
+    [
+        dict(block_sizes=(4,), search_sizes=(8,)),
+        dict(block_sizes=(4, 4), search_sizes=(8, 8)),
+        dict(block_sizes=(4, 4), search_sizes=(12, 8)),
+        dict(block_sizes=(2, 4, 4), search_sizes=(6, 8, 12)),
+    ],
+)
+def test_engine_bit_exact_vs_oracle(rng, cfgkw):
+    cfg = MotionConfig(interp_factor=1, regularizer="exact", **cfgkw)
+    h, w = 32, 48
+    im1, im2 = _pair(rng, h, w, dy=1, dx=-2)
+
+    p = pad_ops.compute_padding(h, w, cfg)
+    im1p = np.pad(im1, ((p.pad_y, p.pad_y), (p.pad_x, p.pad_x)))
+    im2p = np.pad(im2, ((p.pad_y, p.pad_y), (p.pad_x, p.pad_x)))
+
+    want = oracle.calc_motion_block_matching(im1p, im2p, cfg)
+    got = np.asarray(engine.estimate_flow_padded(im1p, im2p, cfg))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_driver_bit_exact_vs_oracle(rng):
+    cfg = MotionConfig(
+        block_sizes=(4, 4), search_sizes=(8, 8), interp_factor=2, regularizer="exact"
+    )
+    im1, im2 = _pair(rng, 20, 26, dy=1, dx=-1)
+    want = oracle.estimate_flow_driver(im1, im2, cfg)
+    got = np.asarray(engine.estimate_flow_driver(im1, im2, cfg))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_driver_recovers_translation_fourcolor(rng):
+    cfg = MotionConfig(
+        block_sizes=(4, 4), search_sizes=(12, 12), interp_factor=1, regularizer="fourcolor"
+    )
+    im1, im2 = _pair(rng, 32, 32, dy=2, dx=3, margin=8)
+    flow = np.asarray(engine.estimate_flow_driver(im1, im2, cfg))
+    interior = flow[8:24, 8:24]
+    assert np.median(interior[..., 0]) == -3.0
+    assert np.median(interior[..., 1]) == -2.0
