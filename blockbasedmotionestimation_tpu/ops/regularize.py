@@ -24,6 +24,11 @@ Tie-breaks are reproduced exactly in all modes: each border case's candidate
 ordering becomes a static rank table and the winner is the lexicographic
 (energy, rank) minimum - identical to "first strict min" over the ordered list
 (``min_energy_candidate``, ``:646-662``).
+
+Tiling: like ``ops.search``, the row-sharded path passes global frame dims
+plus traced row offsets, a neighbor-halo'd grid (``gp``), and an im2 buffer
+with halo rows; all border cases and bounds checks use global coordinates, so
+a tiled fourcolor/jacobi sweep equals its untiled counterpart bit-for-bit.
 """
 
 from __future__ import annotations
@@ -107,16 +112,18 @@ def _select_lexicographic(energy: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray
 
 def _energies(
     im1_blocks: jnp.ndarray,  # (m, n, bs, bs) int16 source blocks
-    im2: jnp.ndarray,         # (H, W) uint8
+    im2: jnp.ndarray,         # (Hb, W) uint8 frame-2 buffer (tile + halo)
     cands: jnp.ndarray,       # (m, n, 9, 2) float32 candidate MVs
     present: jnp.ndarray,     # (m, n, 9) bool
-    oy: jnp.ndarray,          # (m, n) int32 block origin rows
+    oy: jnp.ndarray,          # (m, n) int32 GLOBAL block origin rows
     ox: jnp.ndarray,          # (m, n) int32 block origin cols
     bs: int,
     lam_mult: jnp.ndarray,    # f32 scalar: lambda * lambda_multiplier
+    full_h: int,
+    im2_row0: jnp.ndarray,
 ) -> jnp.ndarray:
     """(m, n, 9) float32 candidate energies (find_min_candidate, :532-621)."""
-    h, w = im2.shape
+    h, w = full_h, im2.shape[1]
     m, n = oy.shape
     # target block positions: origin + (int)-truncated candidate (:560-575)
     tx = ox[..., None] + cands[..., 0].astype(jnp.int32)  # (m, n, 9)
@@ -124,12 +131,14 @@ def _energies(
     in_img = (tx >= 0) & (tx <= w - bs) & (ty >= 0) & (ty <= h - bs)  # (:578-582)
 
     im2_i16 = im2.astype(jnp.int16)
+    hb = im2.shape[0]
 
     def slice_one(y, x):
         return jax.lax.dynamic_slice(im2_i16, (y, x), (bs, bs))
 
+    by = jnp.clip(ty - im2_row0, 0, hb - bs)
     tgt = jax.vmap(slice_one)(
-        jnp.clip(ty, 0, h - bs).reshape(-1), jnp.clip(tx, 0, w - bs).reshape(-1)
+        by.reshape(-1), jnp.clip(tx, 0, w - bs).reshape(-1)
     ).reshape(m, n, 9, bs, bs)
     sad = jnp.sum(
         jnp.abs(im1_blocks[:, :, None] - tgt), axis=(-1, -2), dtype=jnp.int32
@@ -150,35 +159,47 @@ def _update_subset(
     grid: jnp.ndarray,
     bs: int,
     lam_mult: jnp.ndarray,
-    iy: np.ndarray,  # static (m,) block-row indices to update
+    iy: np.ndarray,  # static (m,) LOCAL block-row indices to update
     jx: np.ndarray,  # static (n,) block-col indices to update
+    full_h: int,
+    row0: jnp.ndarray,
+    im2_row0: jnp.ndarray,
+    gp: jnp.ndarray | None = None,  # optional 1-padded grid (halo'd when tiled)
 ) -> jnp.ndarray:
     """Evaluate and apply the candidate update for the (iy x jx) block subset."""
     nby, nbx = grid.shape[:2]
+    nby_total = full_h // bs
+    row0_b = row0 // bs  # global block row of local row 0
     m, n = len(iy), len(jx)
-    ii = jnp.asarray(iy, dtype=jnp.int32)[:, None]  # (m, 1)
+    ii = jnp.asarray(iy, dtype=jnp.int32)[:, None]  # (m, 1) local
     jj = jnp.asarray(jx, dtype=jnp.int32)[None, :]  # (1, n)
+    gi = ii + row0_b  # global block rows
 
-    # candidate MVs: padded-grid gather per slot (edge padding is masked out)
-    gp = jnp.pad(grid, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    # candidate MVs: padded-grid gather per slot (pad value is masked out)
+    if gp is None:
+        gp = jnp.pad(grid, ((1, 1), (1, 1), (0, 0)), mode="edge")
     cands = jnp.stack(
         [gp[ii + 1 + dy, jj + 1 + dx] for dy, dx in SLOTS], axis=2
     )  # (m, n, 9, 2)
 
-    case = _border_case(ii, jj, nby, nbx)  # (m, n)
+    case = _border_case(gi, jj, nby_total, nbx)  # (m, n)
     rank = jnp.asarray(_RANK_TABLE)[case]  # (m, n, 9)
     present = rank < _BIG_RANK
     # guard degenerate grids (single block row/col) the reference never hits
     for k, (dy, dx) in enumerate(SLOTS):
-        ok = (ii + dy >= 0) & (ii + dy < nby) & (jj + dx >= 0) & (jj + dx < nbx)
+        ok = (
+            (gi + dy >= 0) & (gi + dy < nby_total) & (jj + dx >= 0) & (jj + dx < nbx)
+        )
         present = present.at[..., k].set(present[..., k] & ok)
 
     blocks = extract_blocks(im1, bs).astype(jnp.int16).reshape(nby, nbx, bs, bs)
     im1_blocks = blocks[ii, jj]  # (m, n, bs, bs)
-    oy = (ii * bs).astype(jnp.int32) + jnp.zeros((m, n), jnp.int32)
+    oy = (gi * bs).astype(jnp.int32) + jnp.zeros((m, n), jnp.int32)
     ox = (jj * bs).astype(jnp.int32) + jnp.zeros((m, n), jnp.int32)
 
-    energy = _energies(im1_blocks, im2, cands, present, oy, ox, bs, lam_mult)
+    energy = _energies(
+        im1_blocks, im2, cands, present, oy, ox, bs, lam_mult, full_h, im2_row0
+    )
     winner = _select_lexicographic(energy, rank)  # (m, n)
     new_mv = jnp.take_along_axis(cands, winner[..., None, None], axis=2)[:, :, 0]
     return grid.at[ii, jj].set(new_mv)
@@ -194,12 +215,15 @@ def regularize_sweep(
     mult: jnp.ndarray,
     mode: str = "fourcolor",
 ) -> jnp.ndarray:
-    """One regularization sweep over the (nby, nbx, 2) MV grid."""
+    """One regularization sweep over the (nby, nbx, 2) MV grid (untiled)."""
     lam_mult = jnp.float32(lam) * jnp.float32(mult)
     nby, nbx = grid.shape[:2]
+    full_h = im1.shape[0]
+    zero = jnp.int32(0)
     if mode == "jacobi":
         return _update_subset(
-            im1, im2, grid, bs, lam_mult, np.arange(nby), np.arange(nbx)
+            im1, im2, grid, bs, lam_mult, np.arange(nby), np.arange(nbx),
+            full_h, zero, zero,
         )
     if mode == "fourcolor":
         for ci in (0, 1):
@@ -207,7 +231,9 @@ def regularize_sweep(
                 iy = np.arange(ci, nby, 2)
                 jx = np.arange(cj, nbx, 2)
                 if len(iy) and len(jx):
-                    grid = _update_subset(im1, im2, grid, bs, lam_mult, iy, jx)
+                    grid = _update_subset(
+                        im1, im2, grid, bs, lam_mult, iy, jx, full_h, zero, zero
+                    )
         return grid
     if mode == "exact":
         return _regularize_exact(im1, im2, grid, bs, lam_mult)
@@ -224,7 +250,8 @@ def _regularize_exact(
     """Sequential raster Gauss-Seidel, bit-exact with the in-place sweep (:616).
 
     lax.scan over blocks in raster order; the carry is the 1-padded grid so
-    each step reads its already-updated west/north neighbors.
+    each step reads its already-updated west/north neighbors.  Whole-frame
+    only (the raster order does not decompose across tiles).
     """
     nby, nbx = grid.shape[:2]
     h, w = im1.shape

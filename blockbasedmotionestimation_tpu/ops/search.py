@@ -13,6 +13,12 @@ argmin update - bit-identical to the sequential walk:
   * the strict-< update means min SAD with earliest-visit tie-break, which the
     in-order scan reproduces exactly.
 
+Tiling support: when the frame is row-sharded across a device mesh, each
+device calls this with its local im1 tile, an im2 buffer that includes halo
+rows from its neighbors, and traced row offsets locating the tile in the
+global frame.  All bounds checks use global coordinates, so tiled == untiled
+bit-for-bit (given a sufficient halo, see ``parallel/tiled.py``).
+
 This module is the XLA implementation (``search_impl="xla"``); the Pallas
 kernel in ``kernels/`` computes the same volume with explicit VMEM residency.
 """
@@ -39,51 +45,64 @@ def extract_blocks(image: jnp.ndarray, bs: int) -> jnp.ndarray:
     )
 
 
-def _gather_windows(im2: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray, bs: int, ext: int):
-    """Per-block search windows of (bs+2S, bs+2S) centered on (cy, cx).
-
-    im2 is padded by S so every in-bounds center yields an in-bounds slice;
-    out-of-window cost-volume cells are masked by the caller.
-    """
+def _gather_windows(
+    im2: jnp.ndarray, by: jnp.ndarray, bx: jnp.ndarray, bs: int, ext: int
+):
+    """Per-block (bs+2S, bs+2S) windows whose top-left is (by, bx) in im2-buffer
+    coords; im2 is padded by S so any center inside the buffer slices cleanly."""
     im2p = jnp.pad(im2, ((ext, ext), (ext, ext)), constant_values=0)
     win = bs + 2 * ext
 
     def one(y, x):
         return jax.lax.dynamic_slice(im2p, (y, x), (win, win))
 
-    return jax.vmap(one)(cy, cx)  # (nblk, win, win) uint8
+    return jax.vmap(one)(by, bx)  # (nblk, win, win) uint8
 
 
-@partial(jax.jit, static_argnames=("bs", "ss"))
+@partial(jax.jit, static_argnames=("bs", "ss", "full_h"))
 def block_search_level(
     im1: jnp.ndarray,
     im2: jnp.ndarray,
     pred: jnp.ndarray,
     bs: int,
     ss: int,
+    full_h: int | None = None,
+    row0: jnp.ndarray | int = 0,
+    im2_row0: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """One ``calcLevelBM`` sweep (``motion_framework.cpp:226-244``).
 
     Args:
-      im1, im2: (H, W) uint8 padded frames of one pyramid level.
+      im1: (Ht, W) uint8 tile of frame 1 (whole frame in the untiled case).
+      im2: (Hb, W) uint8 frame-2 buffer covering the tile plus search halo
+        (columns always span the full frame width).
       pred: (nby, nbx, 2) float32 predicted MVs (u, v) at block origins.
       bs, ss: block and search sizes; shift = ss - bs.
+      full_h: global frame height for bounds checks (None -> im1 is whole).
+      row0: global pixel row of im1's first row (traced; device-dependent
+        under shard_map).
+      im2_row0: global pixel row of the im2 buffer's first row (<= row0 when
+        the buffer carries a north halo).
 
     Returns:
       (nby, nbx, 2) float32 winning MVs (integer-valued).
     """
-    h, w = im1.shape
-    nby, nbx = h // bs, w // bs
+    ht, w = im1.shape
+    h = ht if full_h is None else full_h
+    nby, nbx = ht // bs, w // bs
     nblk = nby * nbx
     shift = ss - bs
     dys, dxs, ext = spiral_offsets(shift)
 
-    oy = (jnp.arange(nby, dtype=jnp.int32) * bs)[:, None]  # (nby, 1)
+    row0 = jnp.asarray(row0, dtype=jnp.int32)
+    im2_row0 = jnp.asarray(im2_row0, dtype=jnp.int32)
+    # global block origins
+    oy = (row0 + jnp.arange(nby, dtype=jnp.int32) * bs)[:, None]  # (nby, 1)
     ox = (jnp.arange(nbx, dtype=jnp.int32) * bs)[None, :]  # (1, nbx)
     # (int) truncation toward zero of the propagated MV (:233-234)
     cu = pred[..., 0].astype(jnp.int32)
     cv = pred[..., 1].astype(jnp.int32)
-    cy = oy + cv  # predicted center rows, (nby, nbx)
+    cy = oy + cv  # predicted center rows (global), (nby, nbx)
     cx = ox + cu
     # zero-MV early-out: center block not fully inside the image (:304-310)
     center_ok = (cy >= 0) & (cy <= h - bs) & (cx >= 0) & (cx <= w - bs)
@@ -91,7 +110,10 @@ def block_search_level(
     cx_safe = jnp.where(center_ok, cx, jnp.broadcast_to(ox, (nby, nbx))).reshape(nblk)
 
     blocks = extract_blocks(im1, bs).astype(jnp.int16)  # (nblk, bs, bs)
-    windows = _gather_windows(im2, cy_safe, cx_safe, bs, ext).astype(jnp.int16)
+    # window top-left in im2-buffer coords; clamp so an undersized halo cannot
+    # slip out of the buffer (correctness then relies on the halo bound)
+    by = jnp.clip(cy_safe - im2_row0, 0, im2.shape[0] - bs)
+    windows = _gather_windows(im2, by, cx_safe, bs, ext).astype(jnp.int16)
 
     def step(carry, off):
         best_sad, best_dy, best_dx = carry

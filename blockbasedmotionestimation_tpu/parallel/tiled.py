@@ -1,0 +1,201 @@
+"""Multi-chip execution: frame tiling with halo exchange + frame-pair batching.
+
+The reference's only intra-frame parallelism is a disabled 2-thread
+left/right column split sharing one address space (``parallel.h:20-58``).
+The TPU-native design instead shards the frame's ROWS across a mesh axis and
+exchanges exactly the data the algorithm needs across tile boundaries:
+
+  * frame-2 pixel halos for the block search: a tile's predicted centers can
+    sit at most ``M_(l+1)*2`` rows outside the tile and the spiral reaches
+    ``S_l`` further, so the halo per level is the worst-case MV bound
+    ``M_l = 2*M_(l+1) + S_l`` (``M`` at the coarsest level = its search
+    shift).  Exchanged ONCE per level via ``jax.lax.ppermute`` over ICI.
+  * a 1-block-row MV halo for the 8-connected regularizer, refreshed before
+    every color step (``jax.lax.ppermute`` again) - the ring-exchange
+    analogue of sequence-parallel boundary passing.
+
+Because every bounds check in ops.search / ops.regularize uses GLOBAL
+coordinates, the tiled fourcolor/jacobi pipeline is bit-identical to its
+untiled counterpart - asserted by tests on a forced-8-device CPU mesh.
+
+Levels too small to tile profitably (or whose local block-row count would be
+odd, breaking the color parity) run replicated on every device - coarse
+pyramid levels are tiny, so this costs nothing.
+
+Batching: ``estimate_flow_batch`` vmaps the engine over a leading batch axis
+and shards it over the mesh's data axis; combined with row tiling this gives
+the (batch x tile) layout for multi-host runs (batch over DCN, halos over
+ICI).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from blockbasedmotionestimation_tpu.config import MotionConfig
+from blockbasedmotionestimation_tpu.models import engine
+from blockbasedmotionestimation_tpu.ops import pad as pad_ops
+from blockbasedmotionestimation_tpu.ops import resample
+from blockbasedmotionestimation_tpu.ops import regularize as reg
+from blockbasedmotionestimation_tpu.ops.search import block_search_level
+
+
+def mv_bound(cfg: MotionConfig, level: int) -> int:
+    """Worst-case |MV| component at `level` after its search: the propagated
+    coarse MV doubles per level and each search adds its spiral extent
+    (regularization only adopts existing candidates, so it cannot grow MVs)."""
+    from blockbasedmotionestimation_tpu.ops.spiral import spiral_extent
+
+    m = 0
+    for l in range(cfg.num_levels - 1, level - 1, -1):
+        m = 2 * m + spiral_extent(cfg.shift(l))
+    return m
+
+
+def _exchange_rows(x: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
+    """Concatenate `halo` rows from the north and south neighbors onto x.
+
+    Boundary devices receive zero rows; every position that could read them is
+    masked out by the global bounds checks downstream.
+    """
+    if halo == 0:
+        return x
+    t = jax.lax.axis_size(axis)
+    south_edge = x[-halo:]
+    north_edge = x[:halo]
+    from_north = jax.lax.ppermute(
+        south_edge, axis, [(i, i + 1) for i in range(t - 1)]
+    )
+    from_south = jax.lax.ppermute(
+        north_edge, axis, [(i, i - 1) for i in range(1, t)]
+    )
+    return jnp.concatenate([from_north, x, from_south], axis=0)
+
+
+def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int, axis: str):
+    """Builds the per-device level body (search + regularization schedule)."""
+
+    def body(im1_t: jnp.ndarray, im2_t: jnp.ndarray, pred_t: jnp.ndarray) -> jnp.ndarray:
+        ht = im1_t.shape[0]
+        row0 = jax.lax.axis_index(axis).astype(jnp.int32) * ht
+        im2_buf = _exchange_rows(im2_t, halo, axis)
+        im2_row0 = row0 - halo
+
+        grid = block_search_level(
+            im1_t, im2_buf, pred_t, bs, ss,
+            full_h=full_h, row0=row0, im2_row0=im2_row0,
+        )
+
+        cur = bs
+        lam = float(bs) * cfg.lambda_scale
+        mode = cfg.regularizer if cfg.regularizer != "exact" else "fourcolor"
+        while cur > 1:
+            nby, nbx = grid.shape[:2]
+            for sweep in range(cfg.sweeps_per_round):
+                lam_mult = jnp.float32(lam) * jnp.float32(sweep + 1)
+                colors = (
+                    [(None, None)] if mode == "jacobi"
+                    else [(0, 0), (0, 1), (1, 0), (1, 1)]
+                )
+                for ci, cj in colors:
+                    # refresh the 1-block-row MV halo before each color step
+                    gh = _exchange_rows(grid, 1, axis)  # (nby+2, nbx, 2)
+                    gp = jnp.pad(gh, ((0, 0), (1, 1), (0, 0)), mode="edge")
+                    iy = np.arange(nby) if ci is None else np.arange(ci, nby, 2)
+                    jx = np.arange(nbx) if cj is None else np.arange(cj, nbx, 2)
+                    grid = reg._update_subset(
+                        im1_t, im2_buf, grid, cur, lam_mult, iy, jx,
+                        full_h, row0, im2_row0, gp=gp,
+                    )
+            grid = engine.subdivide(grid)
+            cur >>= 1
+            lam *= 2.0
+        return grid
+
+    return body
+
+
+def _level_shardable(h: int, w: int, bs: int, t: int) -> bool:
+    """Rows tile evenly into block-aligned strips with even local block rows
+    (even local block rows keep global == local color parity on every tile)."""
+    if h % (t * bs):
+        return False
+    return ((h // t) // bs) % 2 == 0
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis"))
+def estimate_flow_padded_tiled(
+    im1p: jnp.ndarray,
+    im2p: jnp.ndarray,
+    cfg: MotionConfig,
+    mesh: Mesh,
+    axis: str = "ty",
+) -> jnp.ndarray:
+    """Row-tiled, halo-exchanged engine on pre-padded frames.
+
+    Bit-identical to ``engine.estimate_flow_padded`` in fourcolor/jacobi modes
+    ("exact" falls back to fourcolor here - the raster sweep does not
+    decompose across tiles).  Returns the dense (H', W', 2) flow, sharded by
+    rows over `axis`.
+    """
+    t = mesh.shape[axis]
+    levels = cfg.num_levels
+    pyr1 = resample.build_pyramid(im1p, levels)
+    pyr2 = resample.build_pyramid(im2p, levels)
+
+    row_sharding = NamedSharding(mesh, P(axis, None))
+
+    dense = None
+    for level in range(levels - 1, -1, -1):
+        im1, im2 = pyr1[level], pyr2[level]
+        h, w = im1.shape
+        bs, ss = cfg.block_sizes[level], cfg.search_sizes[level]
+        if dense is None:
+            pred = jnp.zeros((h // bs, w // bs, 2), dtype=jnp.float32)
+        else:
+            pred = engine.transfer_mvs(dense, cfg.block_sizes[level + 1], bs)
+
+        halo = mv_bound(cfg, level)
+        if _level_shardable(h, w, bs, t) and halo < h // t:
+            im1 = jax.lax.with_sharding_constraint(im1, row_sharding)
+            im2 = jax.lax.with_sharding_constraint(im2, row_sharding)
+            body = _tiled_level_fn(bs, ss, cfg, h, halo, axis)
+            dense = shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axis, None), P(axis, None), P(axis, None, None)),
+                out_specs=P(axis, None, None),
+                check_rep=False,
+            )(im1, im2, pred)
+        else:
+            # level too small to tile: run it replicated (coarse levels are tiny)
+            dense = engine._run_level(im1, im2, pred, bs, ss, cfg)
+    return dense
+
+
+def estimate_flow_batch(
+    im1s: jnp.ndarray,
+    im2s: jnp.ndarray,
+    cfg: MotionConfig,
+    mesh: Mesh,
+    batch_axis: str = "batch",
+) -> jnp.ndarray:
+    """Data-parallel driver over a batch of frame pairs (B, H, W) uint8.
+
+    Returns (B, H, W, 2) float32 original-resolution flow, batch-sharded.
+    """
+    sharding = NamedSharding(mesh, P(batch_axis, None, None))
+    im1s = jax.device_put(im1s, sharding)
+    im2s = jax.device_put(im2s, sharding)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def run(a, b, cfg):
+        return jax.vmap(lambda x, y: engine._driver_jit(x, y, cfg))(a, b)
+
+    return run(im1s, im2s, cfg)
