@@ -171,7 +171,7 @@ def estimate_flow_padded_tiled(
                 mesh=mesh,
                 in_specs=(P(axis, None), P(axis, None), P(axis, None, None)),
                 out_specs=P(axis, None, None),
-                check_rep=False,
+                check_vma=False,
             )(im1, im2, pred)
         else:
             # level too small to tile: run it replicated (coarse levels are tiny)
