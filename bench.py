@@ -1,0 +1,74 @@
+"""Benchmark: 1080p dense MV fields/sec/chip, full pipeline.
+
+Workload: one 1080p (1080x1920) grayscale frame pair through the flagship
+configuration - 4-level pyramid, 32px blocks, 64px search windows (the
+reference's shipped config, main_class.cpp:19-21, minus the 4x Middlebury
+interpolation trick), fourcolor regularization to 1px blocks.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no wall-clock numbers (SURVEY.md section 6);
+the denominator is a documented engineering estimate of the single-threaded
+C++ reference on this workload: ~2.3 GSAD-ops for the level-0 search alone
+plus 40 regularization sweeps puts it at >= 10 s/field on a VS2013-era CPU,
+i.e. 0.1 fields/s.  vs_baseline = measured_fields_per_sec / 0.1.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from blockbasedmotionestimation_tpu.config import MotionConfig
+from blockbasedmotionestimation_tpu.models.engine import estimate_flow
+
+_BASELINE_FIELDS_PER_SEC = 0.1  # documented estimate, see module docstring
+
+H, W = 1080, 1920
+
+
+def main() -> None:
+    cfg = MotionConfig(
+        block_sizes=(32, 32, 32, 32),
+        search_sizes=(64, 64, 64, 64),
+        interp_factor=1,
+        regularizer="fourcolor",
+    )
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, size=(H + 16, W + 16), dtype=np.uint8)
+    im1 = jnp.asarray(base[:H, :W])
+    im2 = jnp.asarray(base[5:5 + H, 9:9 + W])
+
+    flow, _ = estimate_flow(im1, im2, cfg)  # compile + warm up
+    jax.block_until_ready(flow)
+
+    t0 = time.time()
+    flow, _ = estimate_flow(im1, im2, cfg)
+    jax.block_until_ready(flow)
+    once = time.time() - t0
+
+    iters = max(1, min(10, int(10.0 / max(once, 1e-3))))
+    t0 = time.time()
+    for _ in range(iters):
+        flow, _ = estimate_flow(im1, im2, cfg)
+        jax.block_until_ready(flow)
+    dt = (time.time() - t0) / iters
+
+    fields_per_sec = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "1080p_mv_fields_per_sec_per_chip",
+                "value": round(fields_per_sec, 4),
+                "unit": "fields/s",
+                "vs_baseline": round(fields_per_sec / _BASELINE_FIELDS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
