@@ -59,7 +59,7 @@ def _gather_windows(
     return jax.vmap(one)(by, bx)  # (nblk, win, win) uint8
 
 
-@partial(jax.jit, static_argnames=("bs", "ss", "full_h"))
+@partial(jax.jit, static_argnames=("bs", "ss", "full_h", "impl"))
 def block_search_level(
     im1: jnp.ndarray,
     im2: jnp.ndarray,
@@ -69,6 +69,7 @@ def block_search_level(
     full_h: int | None = None,
     row0: jnp.ndarray | int = 0,
     im2_row0: jnp.ndarray | int = 0,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """One ``calcLevelBM`` sweep (``motion_framework.cpp:226-244``).
 
@@ -115,31 +116,42 @@ def block_search_level(
     by = jnp.clip(cy_safe - im2_row0, 0, im2.shape[0] - bs)
     windows = _gather_windows(im2, by, cx_safe, bs, ext).astype(jnp.int16)
 
-    def step(carry, off):
-        best_sad, best_dy, best_dx = carry
-        dy, dx = off
-        win = jax.lax.dynamic_slice(windows, (0, dy, dx), (nblk, bs, bs))
-        sad = jnp.sum(
-            jnp.abs(blocks - win), axis=(1, 2), dtype=jnp.int32
-        )  # cv::norm NORM_L1 (:315)
-        ty = cy_safe + (dy - ext)
-        tx = cx_safe + (dx - ext)
-        ok = (ty >= 0) & (ty <= h - bs) & (tx >= 0) & (tx <= w - bs)
-        sad = jnp.where(ok, sad, _I32_MAX)
-        better = sad < best_sad  # strict <: first visit wins ties
-        return (
-            jnp.where(better, sad, best_sad),
-            jnp.where(better, dy, best_dy),
-            jnp.where(better, dx, best_dx),
-        ), None
+    if impl in ("pallas", "pallas_interpret"):
+        from blockbasedmotionestimation_tpu.kernels.sad_search import sad_spiral_argmin
 
-    init = (
-        jnp.full((nblk,), _I32_MAX, dtype=jnp.int32),
-        jnp.full((nblk,), ext, dtype=jnp.int32),  # center offset (rank 0)
-        jnp.full((nblk,), ext, dtype=jnp.int32),
-    )
-    offs = (jnp.asarray(dys + ext), jnp.asarray(dxs + ext))
-    (best_sad, best_dy, best_dx), _ = jax.lax.scan(step, init, offs)
+        best_dy, best_dx = sad_spiral_argmin(
+            blocks, windows, cy_safe, cx_safe, bs, ss, h, w,
+            interpret=(impl == "pallas_interpret"),
+        )
+    elif impl == "xla":
+
+        def step(carry, off):
+            best_sad, best_dy, best_dx = carry
+            dy, dx = off
+            win = jax.lax.dynamic_slice(windows, (0, dy, dx), (nblk, bs, bs))
+            sad = jnp.sum(
+                jnp.abs(blocks - win), axis=(1, 2), dtype=jnp.int32
+            )  # cv::norm NORM_L1 (:315)
+            ty = cy_safe + (dy - ext)
+            tx = cx_safe + (dx - ext)
+            ok = (ty >= 0) & (ty <= h - bs) & (tx >= 0) & (tx <= w - bs)
+            sad = jnp.where(ok, sad, _I32_MAX)
+            better = sad < best_sad  # strict <: first visit wins ties
+            return (
+                jnp.where(better, sad, best_sad),
+                jnp.where(better, dy, best_dy),
+                jnp.where(better, dx, best_dx),
+            ), None
+
+        init = (
+            jnp.full((nblk,), _I32_MAX, dtype=jnp.int32),
+            jnp.full((nblk,), ext, dtype=jnp.int32),  # center offset (rank 0)
+            jnp.full((nblk,), ext, dtype=jnp.int32),
+        )
+        offs = (jnp.asarray(dys + ext), jnp.asarray(dxs + ext))
+        (_, best_dy, best_dx), _ = jax.lax.scan(step, init, offs)
+    else:
+        raise ValueError(f"unknown search impl: {impl}")
 
     win_y = (cy_safe + best_dy - ext).reshape(nby, nbx)
     win_x = (cx_safe + best_dx - ext).reshape(nby, nbx)
