@@ -1,0 +1,136 @@
+"""Command-line interface.
+
+The reference has no CLI - every parameter is a constant edited in
+``main_class.cpp:15-26`` and the bundled Middlebury tools are separate g++
+binaries (``color_flow``, ``colortest``).  Here everything is one entry point:
+
+  python -m blockbasedmotionestimation_tpu.cli estimate f1.png f2.png out.flo \
+      [--gt gt.flo] [--png flow.png] [--levels 4 --block 32 --search 64 ...]
+  python -m blockbasedmotionestimation_tpu.cli evaluate flow.flo gt.flo
+  python -m blockbasedmotionestimation_tpu.cli colorize flow.flo out.png [--max-motion M]
+  python -m blockbasedmotionestimation_tpu.cli legend out.png [--range 10]
+
+``estimate`` replicates the reference driver (``main_class.cpp:6-85``):
+grayscale read, interp-factor upsample, engine, stride subsample, color-coded
+PNG, EPE against ground truth when given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _cfg_from_args(args) -> "MotionConfig":
+    from blockbasedmotionestimation_tpu.config import MotionConfig
+
+    return MotionConfig(
+        block_sizes=tuple([args.block] * args.levels),
+        search_sizes=tuple([args.search] * args.levels),
+        interp_factor=args.interp,
+        regularizer=args.regularizer,
+        sweeps_per_round=args.sweeps,
+    )
+
+
+def _add_engine_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--levels", type=int, default=4, help="pyramid levels (main_class.cpp:19)")
+    p.add_argument("--block", type=int, default=32, help="block size (main_class.cpp:21)")
+    p.add_argument("--search", type=int, default=64, help="search size (main_class.cpp:20)")
+    p.add_argument("--interp", type=int, default=4,
+                   help="pre-upsample factor, 1 disables (main_class.cpp:32-33)")
+    p.add_argument("--regularizer", default="fourcolor",
+                   choices=["exact", "fourcolor", "jacobi"])
+    p.add_argument("--sweeps", type=int, default=2, help="sweeps per subdivision round")
+
+
+def cmd_estimate(args) -> int:
+    from blockbasedmotionestimation_tpu.models.engine import estimate_flow_driver
+    from blockbasedmotionestimation_tpu.utils import flowio
+
+    im1 = flowio.read_gray(args.frame1)
+    im2 = flowio.read_gray(args.frame2)
+    cfg = _cfg_from_args(args)
+
+    t0 = time.time()
+    flow = np.asarray(estimate_flow_driver(im1, im2, cfg))
+    print(f"Seconds: {time.time() - t0:.3f}")  # parity: main_class.cpp:55
+
+    flowio.write_flo(args.out, flow)
+    if args.png:
+        flowio.write_image(args.png, flowio.flow_to_color(flow, verbose=True))
+    if args.gt:
+        gt = flowio.read_flo(args.gt)
+        print(f"The MSE is {flowio.average_epe(gt, flow)}")  # parity: main_class.cpp:82
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from blockbasedmotionestimation_tpu.utils import flowio
+
+    flow = flowio.read_flo(args.flow)
+    gt = flowio.read_flo(args.gt)
+    if flow.shape != gt.shape:
+        print(f"shape mismatch: {flow.shape} vs {gt.shape}", file=sys.stderr)
+        return 1
+    print(f"average EPE: {flowio.average_epe(gt, flow):.6f}")
+    return 0
+
+
+def cmd_colorize(args) -> int:
+    # the bundled color_flow tool (middlebury/flow-code/color_flow.cpp:68-99)
+    from blockbasedmotionestimation_tpu.utils import flowio
+
+    flow = flowio.read_flo(args.flow)
+    max_motion = -1.0 if args.max_motion is None else args.max_motion
+    img = flowio.flow_to_color(flow, max_motion=max_motion, verbose=True)
+    flowio.write_image(args.out, img)
+    return 0
+
+
+def cmd_legend(args) -> int:
+    # the bundled colortest tool (middlebury/flow-code/colortest.cpp:12-61)
+    from blockbasedmotionestimation_tpu.utils import flowio
+
+    flowio.write_image(args.out, flowio.color_legend(args.range))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="blockbasedmotionestimation_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("estimate", help="estimate flow between two grayscale frames")
+    p.add_argument("frame1")
+    p.add_argument("frame2")
+    p.add_argument("out", help="output .flo path")
+    p.add_argument("--png", help="also write a color-coded PNG")
+    p.add_argument("--gt", help="ground-truth .flo for EPE")
+    _add_engine_args(p)
+    p.set_defaults(fn=cmd_estimate)
+
+    p = sub.add_parser("evaluate", help="average EPE between a flow and ground truth")
+    p.add_argument("flow")
+    p.add_argument("gt")
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("colorize", help=".flo -> color PNG (color_flow tool)")
+    p.add_argument("flow")
+    p.add_argument("out")
+    p.add_argument("--max-motion", type=float, default=None)
+    p.set_defaults(fn=cmd_colorize)
+
+    p = sub.add_parser("legend", help="render the color-wheel legend (colortest tool)")
+    p.add_argument("out")
+    p.add_argument("--range", type=int, default=10)
+    p.set_defaults(fn=cmd_legend)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

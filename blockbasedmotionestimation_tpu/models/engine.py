@@ -114,17 +114,17 @@ def _driver_jit(im1: jnp.ndarray, im2: jnp.ndarray, cfg: MotionConfig) -> jnp.nd
     return sub / jnp.float32(f)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "p"))
+def _pad_and_run(a, b, cfg: MotionConfig, p: pad_ops.Padding):
+    return estimate_flow_padded(pad_ops.pad_frame(a, p), pad_ops.pad_frame(b, p), cfg)
+
+
 def estimate_flow(
     im1: jnp.ndarray, im2: jnp.ndarray, cfg: MotionConfig
 ) -> tuple[jnp.ndarray, pad_ops.Padding]:
     """Pad + engine on frames as given (no interp): (padded dense flow, padding)."""
     p = pad_ops.compute_padding(im1.shape[0], im1.shape[1], cfg)
-
-    @functools.partial(jax.jit, static_argnames=("cfg",))
-    def run(a, b, cfg):
-        return estimate_flow_padded(pad_ops.pad_frame(a, p), pad_ops.pad_frame(b, p), cfg)
-
-    return run(im1, im2, cfg), p
+    return _pad_and_run(im1, im2, cfg, p), p
 
 
 def estimate_flow_driver(

@@ -6,6 +6,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 print("backend:", jax.default_backend(), flush=True)
 
 from blockbasedmotionestimation_tpu.config import MotionConfig
