@@ -99,6 +99,18 @@ def cmd_legend(args) -> int:
     return 0
 
 
+def cmd_middlebury(args) -> int:
+    from blockbasedmotionestimation_tpu.models import evaluate
+
+    cfg = _cfg_from_args(args)
+    seqs = tuple(args.sequences) if args.sequences else evaluate.SEQUENCES
+    results = evaluate.evaluate_middlebury(
+        args.gt_dir, cfg, sequences=seqs, frames_dir=args.frames_dir, seed=args.seed
+    )
+    print(evaluate.format_report(results))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="blockbasedmotionestimation_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -127,6 +139,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("out")
     p.add_argument("--range", type=int, default=10)
     p.set_defaults(fn=cmd_legend)
+
+    p = sub.add_parser("middlebury", help="evaluate over the Middlebury gt-flow set")
+    p.add_argument("gt_dir", help="dir with <seq>/flow10.flo ground truth")
+    p.add_argument("--frames-dir", default=None,
+                   help="dir with <seq>/frame10.png pairs; default: synthesize "
+                        "brightness-constant pairs by warping texture through gt")
+    p.add_argument("--sequences", nargs="*", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    _add_engine_args(p)
+    p.set_defaults(fn=cmd_middlebury)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -1,4 +1,5 @@
-"""End-to-end TPU timing with device-resident inputs (no tunnel I/O in loop)."""
+"""End-to-end TPU timing; sync via tiny device->host fetch (axon backend is
+fully async - block_until_ready does not wait for remote execution)."""
 
 import time
 
@@ -17,28 +18,26 @@ from blockbasedmotionestimation_tpu.models.engine import estimate_flow
 H, W = 1080, 1920
 rng = np.random.default_rng(0)
 base = rng.integers(0, 256, size=(H + 16, W + 16), dtype=np.uint8)
-
-t0 = time.time()
 im1 = jax.device_put(jnp.asarray(base[:H, :W]))
 im2 = jax.device_put(jnp.asarray(base[5:5 + H, 9:9 + W]))
-jax.block_until_ready((im1, im2))
-print(f"host->device 2x2MB: {time.time()-t0:.2f}s", flush=True)
+_ = np.asarray(im1[0, 0])  # force upload
 
 cfg = MotionConfig(block_sizes=(32,)*4, search_sizes=(64,)*4,
                    interp_factor=1, regularizer="fourcolor")
 
-t0 = time.time()
-flow, _ = estimate_flow(im1, im2, cfg)
-jax.block_until_ready(flow)
-print(f"compile+first: {time.time()-t0:.2f}s", flush=True)
 
-for i in range(5):
+def sync(x):
+    return float(np.asarray(x[0, 0, 0]))
+
+
+t0 = time.time()
+flow, _p = estimate_flow(im1, im2, cfg)
+sync(flow)
+print(f"compile+first(sync): {time.time()-t0:.2f}s", flush=True)
+
+for i in range(4):
     t0 = time.time()
-    flow, _ = estimate_flow(im1, im2, cfg)
-    jax.block_until_ready(flow)
+    flow, _p = estimate_flow(im1, im2, cfg)
+    sync(flow)
     dt = time.time() - t0
     print(f"run {i}: {dt*1000:.1f} ms ({1/dt:.2f} fields/s)", flush=True)
-
-t0 = time.time()
-f_np = np.asarray(flow)
-print(f"device->host 16.7MB: {time.time()-t0:.2f}s  mean|u|={np.abs(f_np[...,0]).mean():.2f}", flush=True)
