@@ -29,7 +29,7 @@ import numpy as np
 from blockbasedmotionestimation_tpu.config import MotionConfig
 from blockbasedmotionestimation_tpu.ops import pad as pad_ops
 from blockbasedmotionestimation_tpu.ops import resample
-from blockbasedmotionestimation_tpu.ops.regularize import regularize_sweep
+from blockbasedmotionestimation_tpu.ops.regularize import run_schedule
 from blockbasedmotionestimation_tpu.ops.search import block_search_level
 
 
@@ -64,19 +64,12 @@ def _run_level(
     cfg: MotionConfig,
 ) -> jnp.ndarray:
     """Search + regularization schedule for one level; returns the stride-1 grid."""
-    grid = block_search_level(im1, im2, pred, bs, ss)
-    cur = bs
-    lam = float(bs) * cfg.lambda_scale  # reference: block_size/2 (:73)
-    while cur > 1:
-        for sweep in range(cfg.sweeps_per_round):
-            grid = regularize_sweep(
-                im1, im2, grid, cur,
-                jnp.float32(lam), jnp.float32(sweep + 1), cfg.regularizer,
-            )
-        grid = subdivide(grid)
-        cur >>= 1
-        lam *= 2.0  # (:151)
-    return grid
+    grid = block_search_level(im1, im2, pred, bs, ss, impl=cfg.search_impl)
+    return run_schedule(
+        im1, im2, grid, bs,
+        float(bs) * cfg.lambda_scale,  # reference: block_size/2 (:73)
+        cfg.sweeps_per_round, cfg.regularizer,
+    )
 
 
 def estimate_flow_padded(

@@ -205,6 +205,229 @@ def _update_subset(
     return grid.at[ii, jj].set(new_mv)
 
 
+def _update_color_dynamic(
+    im1_blocks: jnp.ndarray,  # (nby, nbx, bs, bs) i16 source blocks
+    im2: jnp.ndarray,
+    grid: jnp.ndarray,        # (nby, nbx, 2), nby/nbx EVEN
+    gp: jnp.ndarray,          # (nby+3, nbx+3, 2) 1-top/2-bottom padded grid
+    bs: int,
+    lam_mult: jnp.ndarray,
+    ci: jnp.ndarray,          # traced color row offset in {0, 1}
+    cj: jnp.ndarray,          # traced color col offset in {0, 1}
+    full_h: int,
+    row0: jnp.ndarray,
+    im2_row0: jnp.ndarray,
+) -> jnp.ndarray:
+    """One color step with TRACED color offsets, for lax.scan over the sweep
+    x color schedule (compile-time: one HLO instance per subdivision round
+    instead of one per color step).
+
+    The color slab (rows ci::2, cols cj::2) and each slot's candidates are
+    materialized with a dynamic_slice + stride-2 reshape trick, numerically
+    identical to the static-index path.
+    """
+    nby, nbx = grid.shape[:2]
+    m, n = nby // 2, nbx // 2
+    nby_total = full_h // bs
+    row0_b = row0 // bs
+
+    def slab4(x, ci_, cj_):
+        # x: (nby, nbx, ...) -> (m, n, ...) rows ci_::2, cols cj_::2
+        r = x.reshape((m, 2, n, 2) + x.shape[2:])
+        r = jax.lax.dynamic_index_in_dim(r, ci_, axis=1, keepdims=False)
+        return jax.lax.dynamic_index_in_dim(r, cj_, axis=2, keepdims=False)
+
+    cands = []
+    for dy, dx in SLOTS:
+        sub = jax.lax.dynamic_slice(
+            gp, (ci + dy + 1, cj + dx + 1, 0), (nby, nbx, 2)
+        )
+        cands.append(sub[::2, ::2])
+    cands = jnp.stack(cands, axis=2)  # (m, n, 9, 2)
+
+    kk = jnp.arange(m, dtype=jnp.int32)[:, None]
+    mm = jnp.arange(n, dtype=jnp.int32)[None, :]
+    gi = row0_b + ci + 2 * kk  # (m, 1) global block rows
+    jj = cj + 2 * mm           # (1, n) block cols
+
+    case = _border_case(gi, jj, nby_total, nbx)
+    rank = jnp.asarray(_RANK_TABLE)[case]
+    present = rank < _BIG_RANK
+    for k, (dy, dx) in enumerate(SLOTS):
+        ok = (
+            (gi + dy >= 0) & (gi + dy < nby_total) & (jj + dx >= 0) & (jj + dx < nbx)
+        )
+        present = present.at[..., k].set(present[..., k] & ok)
+
+    blocks = slab4(im1_blocks, ci, cj)  # (m, n, bs, bs)
+    oy = (gi * bs) + jnp.zeros((m, n), jnp.int32)
+    ox = (jj * bs) + jnp.zeros((m, n), jnp.int32)
+    energy = _energies(
+        blocks, im2, cands, present, oy, ox, bs, lam_mult, full_h, im2_row0
+    )
+    winner = _select_lexicographic(energy, rank)
+    new_mv = jnp.take_along_axis(cands, winner[..., None, None], axis=2)[:, :, 0]
+
+    gr = grid.reshape(m, 2, n, 2, 2)
+    gr = jax.lax.dynamic_update_slice(
+        gr, new_mv[:, None, :, None, :], (0, ci, 0, cj, 0)
+    )
+    return gr.reshape(nby, nbx, 2)
+
+
+def run_schedule(
+    im1: jnp.ndarray,
+    im2: jnp.ndarray,
+    grid: jnp.ndarray,
+    bs: int,
+    lam0: float,
+    sweeps_per_round: int,
+    mode: str,
+    *,
+    full_h: int | None = None,
+    row0: jnp.ndarray | int = 0,
+    im2_row0: jnp.ndarray | int = 0,
+    make_gp=None,
+) -> jnp.ndarray:
+    """The per-level regularization schedule (``motion_framework.cpp:141-152``):
+    while bs > 1: { sweeps with lambda_multiplier = sweep+1; subdivide;
+    lambda *= 2 } - with each round's sweep x color steps fused into ONE
+    lax.scan body to keep compile time flat.
+
+    make_gp(grid) -> (nby+3, nbx+3, 2) candidate-padded grid; None pads with
+    zeros (correct untiled: out-of-grid slots are masked by global bounds).
+    In tiled mode the caller supplies neighbor-halo rows instead.
+    """
+    from blockbasedmotionestimation_tpu.models.engine import subdivide  # cycle-free
+
+    if full_h is None:
+        full_h = im1.shape[0]
+    row0 = jnp.asarray(row0, dtype=jnp.int32)
+    im2_row0 = jnp.asarray(im2_row0, dtype=jnp.int32)
+    if make_gp is None:
+        def make_gp(g):
+            return jnp.pad(g, ((1, 2), (1, 2), (0, 0)))
+
+    if mode == "exact":
+        # sequential reference path: per-sweep function, no scan fusion
+        cur, lam = bs, lam0
+        while cur > 1:
+            for sweep in range(sweeps_per_round):
+                grid = regularize_sweep(
+                    im1, im2, grid, cur, jnp.float32(lam),
+                    jnp.float32(sweep + 1), "exact",
+                )
+            grid = subdivide(grid)
+            cur >>= 1
+            lam *= 2.0
+        return grid
+
+    if mode == "jacobi":
+        colors = [(0, 0)]  # ci/cj unused marker; jacobi updates all blocks
+    elif mode == "fourcolor":
+        colors = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    else:
+        raise ValueError(f"unknown regularizer mode: {mode}")
+
+    cur, lam = bs, lam0
+    while cur > 1:
+        nby, nbx = grid.shape[:2]
+        pad_r, pad_c = nby % 2, nbx % 2
+        if pad_r or pad_c:
+            # odd grids only occur untiled at the first round; phantom rows
+            # are masked by global bounds and sliced off after the scan
+            grid = jnp.pad(grid, ((0, pad_r), (0, pad_c), (0, 0)))
+
+        blocks = (
+            extract_blocks(im1, cur)
+            .astype(jnp.int16)
+            .reshape(im1.shape[0] // cur, im1.shape[1] // cur, cur, cur)
+        )
+        if pad_r or pad_c:
+            blocks = jnp.pad(blocks, ((0, pad_r), (0, pad_c), (0, 0), (0, 0)))
+
+        lam_steps, ci_steps, cj_steps = [], [], []
+        for sweep in range(sweeps_per_round):
+            for ci, cj in colors:
+                lam_steps.append(lam * (sweep + 1))
+                ci_steps.append(ci)
+                cj_steps.append(cj)
+        xs = (
+            jnp.asarray(lam_steps, dtype=jnp.float32),
+            jnp.asarray(ci_steps, dtype=jnp.int32),
+            jnp.asarray(cj_steps, dtype=jnp.int32),
+        )
+
+        if mode == "jacobi":
+
+            def body(g, x):
+                lam_mult, _, _ = x
+                gp3 = make_gp(g)
+                g = _update_color_jacobi(
+                    blocks, im2, g, gp3, cur, lam_mult, full_h, row0, im2_row0
+                )
+                return g, None
+
+        else:
+
+            def body(g, x):
+                lam_mult, ci, cj = x
+                gp3 = make_gp(g)
+                g = _update_color_dynamic(
+                    blocks, im2, g, gp3, cur, lam_mult, ci, cj,
+                    full_h, row0, im2_row0,
+                )
+                return g, None
+
+        grid, _ = jax.lax.scan(body, grid, xs)
+        if pad_r or pad_c:
+            grid = grid[: nby, : nbx]
+        grid = subdivide(grid)
+        cur >>= 1
+        lam *= 2.0
+    return grid
+
+
+def _update_color_jacobi(
+    im1_blocks: jnp.ndarray,  # (nby, nbx, bs, bs) i16
+    im2: jnp.ndarray,
+    grid: jnp.ndarray,
+    gp: jnp.ndarray,          # (nby+3, nbx+3, 2)
+    bs: int,
+    lam_mult: jnp.ndarray,
+    full_h: int,
+    row0: jnp.ndarray,
+    im2_row0: jnp.ndarray,
+) -> jnp.ndarray:
+    """Full-grid Jacobi update used inside the scheduled scan."""
+    nby, nbx = grid.shape[:2]
+    nby_total = full_h // bs
+    row0_b = row0 // bs
+    cands = jnp.stack(
+        [gp[1 + dy : 1 + dy + nby, 1 + dx : 1 + dx + nbx] for dy, dx in SLOTS],
+        axis=2,
+    )
+    kk = jnp.arange(nby, dtype=jnp.int32)[:, None]
+    mm = jnp.arange(nbx, dtype=jnp.int32)[None, :]
+    gi = row0_b + kk
+    jj = mm + jnp.zeros_like(kk)
+    case = _border_case(gi, mm, nby_total, nbx)
+    rank = jnp.asarray(_RANK_TABLE)[case]
+    present = rank < _BIG_RANK
+    for k, (dy, dx) in enumerate(SLOTS):
+        ok = (
+            (gi + dy >= 0) & (gi + dy < nby_total) & (mm + dx >= 0) & (mm + dx < nbx)
+        )
+        present = present.at[..., k].set(present[..., k] & ok)
+    oy = (gi * bs) + jnp.zeros((nby, nbx), jnp.int32)
+    ox = (mm * bs) + jnp.zeros((nby, nbx), jnp.int32)
+    energy = _energies(
+        im1_blocks, im2, cands, present, oy, ox, bs, lam_mult, full_h, im2_row0
+    )
+    winner = _select_lexicographic(energy, rank)
+    return jnp.take_along_axis(cands, winner[..., None, None], axis=2)[:, :, 0]
+
+
 @partial(jax.jit, static_argnames=("bs", "mode"))
 def regularize_sweep(
     im1: jnp.ndarray,

@@ -89,34 +89,20 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
 
         grid = block_search_level(
             im1_t, im2_buf, pred_t, bs, ss,
-            full_h=full_h, row0=row0, im2_row0=im2_row0,
+            full_h=full_h, row0=row0, im2_row0=im2_row0, impl=cfg.search_impl,
         )
 
-        cur = bs
-        lam = float(bs) * cfg.lambda_scale
+        def make_gp(g):
+            # refresh the 1-block-row MV halo before each color step
+            gh = _exchange_rows(g, 1, axis)  # (north, local, south) rows
+            return jnp.pad(gh, ((0, 1), (1, 2), (0, 0)))
+
         mode = cfg.regularizer if cfg.regularizer != "exact" else "fourcolor"
-        while cur > 1:
-            nby, nbx = grid.shape[:2]
-            for sweep in range(cfg.sweeps_per_round):
-                lam_mult = jnp.float32(lam) * jnp.float32(sweep + 1)
-                colors = (
-                    [(None, None)] if mode == "jacobi"
-                    else [(0, 0), (0, 1), (1, 0), (1, 1)]
-                )
-                for ci, cj in colors:
-                    # refresh the 1-block-row MV halo before each color step
-                    gh = _exchange_rows(grid, 1, axis)  # (nby+2, nbx, 2)
-                    gp = jnp.pad(gh, ((0, 0), (1, 1), (0, 0)), mode="edge")
-                    iy = np.arange(nby) if ci is None else np.arange(ci, nby, 2)
-                    jx = np.arange(nbx) if cj is None else np.arange(cj, nbx, 2)
-                    grid = reg._update_subset(
-                        im1_t, im2_buf, grid, cur, lam_mult, iy, jx,
-                        full_h, row0, im2_row0, gp=gp,
-                    )
-            grid = engine.subdivide(grid)
-            cur >>= 1
-            lam *= 2.0
-        return grid
+        return reg.run_schedule(
+            im1_t, im2_buf, grid, bs,
+            float(bs) * cfg.lambda_scale, cfg.sweeps_per_round, mode,
+            full_h=full_h, row0=row0, im2_row0=im2_row0, make_gp=make_gp,
+        )
 
     return body
 

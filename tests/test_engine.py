@@ -134,3 +134,30 @@ def test_driver_recovers_translation_fourcolor(rng):
     interior = flow[8:24, 8:24]
     assert np.median(interior[..., 0]) == -3.0
     assert np.median(interior[..., 1]) == -2.0
+
+
+def test_run_schedule_scan_equals_static_sweeps(rng):
+    # the scan-fused dynamic-color schedule must equal composing static
+    # fourcolor sweeps + subdivisions step for step
+    from blockbasedmotionestimation_tpu.ops.regularize import run_schedule
+
+    h, w = 24, 40  # 6x10 blocks at bs=4 (odd block rows exercise padding)
+    im1, im2 = _pair(rng, h, w)
+    grid = rng.integers(-3, 4, size=(h // 4, w // 4, 2)).astype(np.float32)
+
+    got = np.asarray(run_schedule(im1, im2, grid, 4, 2.0, 2, "fourcolor"))
+
+    ref = grid.copy()
+    cur, lam = 4, 2.0
+    while cur > 1:
+        for sweep in range(2):
+            ref = np.asarray(
+                regularize_sweep(
+                    im1, im2, ref, cur, np.float32(lam), np.float32(sweep + 1),
+                    "fourcolor",
+                )
+            )
+        ref = np.repeat(np.repeat(ref, 2, axis=0), 2, axis=1)
+        cur >>= 1
+        lam *= 2.0
+    np.testing.assert_array_equal(got, ref)
