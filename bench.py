@@ -20,6 +20,10 @@ import time
 import numpy as np
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from blockbasedmotionestimation_tpu.config import MotionConfig
@@ -28,6 +32,12 @@ from blockbasedmotionestimation_tpu.models.engine import estimate_flow
 _BASELINE_FIELDS_PER_SEC = 0.1  # documented estimate, see module docstring
 
 H, W = 1080, 1920
+
+
+def _sync(x) -> float:
+    # On asynchronous remote backends block_until_ready can return before the
+    # remote execution drains; a scalar device->host fetch is a true barrier.
+    return float(np.asarray(x[0, 0, 0]))
 
 
 def main() -> None:
@@ -39,22 +49,22 @@ def main() -> None:
     )
     rng = np.random.default_rng(0)
     base = rng.integers(0, 256, size=(H + 16, W + 16), dtype=np.uint8)
-    im1 = jnp.asarray(base[:H, :W])
-    im2 = jnp.asarray(base[5:5 + H, 9:9 + W])
+    im1 = jax.device_put(jnp.asarray(base[:H, :W]))
+    im2 = jax.device_put(jnp.asarray(base[5:5 + H, 9:9 + W]))
 
     flow, _ = estimate_flow(im1, im2, cfg)  # compile + warm up
-    jax.block_until_ready(flow)
+    _sync(flow)
 
     t0 = time.time()
     flow, _ = estimate_flow(im1, im2, cfg)
-    jax.block_until_ready(flow)
+    _sync(flow)
     once = time.time() - t0
 
-    iters = max(1, min(10, int(10.0 / max(once, 1e-3))))
+    iters = max(1, min(20, int(20.0 / max(once, 1e-3))))
     t0 = time.time()
     for _ in range(iters):
         flow, _ = estimate_flow(im1, im2, cfg)
-        jax.block_until_ready(flow)
+        _sync(flow)
     dt = (time.time() - t0) / iters
 
     fields_per_sec = 1.0 / dt
