@@ -14,7 +14,8 @@ from typing import Literal, Sequence
 
 CostKind = Literal["sad", "ssd"]
 RegularizerMode = Literal["exact", "fourcolor", "jacobi"]
-SearchImpl = Literal["xla", "pallas"]
+SearchImpl = Literal["xla", "pallas", "pallas_interpret"]
+SearchOrder = Literal["spiral", "raster"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,6 +47,11 @@ class MotionConfig:
       lambda_scale: initial lambda = block_size * lambda_scale
         (reference: block_size / 2, ``motion_framework.cpp:73``), doubled on
         each subdivision (``:151``).
+      search_impl: cost-volume backend - ``xla`` scan or the ``pallas`` VMEM
+        kernel (``pallas_interpret`` for CPU debugging).
+      search_order: ``spiral`` is the reference's live path
+        (``motion_framework.cpp:296-422``); ``raster`` is its exhaustive
+        variant with the closest-to-source tie-break (``:246-294``).
     """
 
     block_sizes: tuple[int, ...] = (32, 32, 32, 32)
@@ -56,6 +62,7 @@ class MotionConfig:
     sweeps_per_round: int = 2
     lambda_scale: float = 0.5
     search_impl: SearchImpl = "xla"
+    search_order: SearchOrder = "spiral"
 
     def __post_init__(self) -> None:
         if len(self.block_sizes) != len(self.search_sizes):

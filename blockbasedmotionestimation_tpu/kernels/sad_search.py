@@ -51,6 +51,7 @@ def _kernel(
     ext: int,
     full_h: int,
     full_w: int,
+    cost: str,
 ):
     k_total = dy_ref.shape[0]
     b = blocks_ref[...].astype(jnp.int32)  # (bs, bs, CB)
@@ -62,7 +63,11 @@ def _kernel(
         dy = dy_ref[k]
         dx = dx_ref[k]
         win = windows_ref[pl.ds(dy, bs), pl.ds(dx, bs), :].astype(jnp.int32)
-        sad = jnp.sum(jnp.abs(b - win), axis=(0, 1))  # (CB,) i32
+        d = b - win
+        if cost == "sad":
+            sad = jnp.sum(jnp.abs(d), axis=(0, 1))  # (CB,) i32
+        else:  # ssd
+            sad = jnp.sum(d * d, axis=(0, 1))
         ty = cy + (dy - ext)
         tx = cx + (dx - ext)
         ok = (ty >= 0) & (ty <= full_h - bs) & (tx >= 0) & (tx <= full_w - bs)
@@ -86,7 +91,8 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bs", "ss", "full_h", "full_w", "block_chunk", "interpret")
+    jax.jit,
+    static_argnames=("bs", "ss", "full_h", "full_w", "block_chunk", "interpret", "cost"),
 )
 def sad_spiral_argmin(
     blocks: jnp.ndarray,   # (nblk, bs, bs) uint8/int16 im1 blocks
@@ -99,6 +105,7 @@ def sad_spiral_argmin(
     full_w: int,
     block_chunk: int = 128,
     interpret: bool = False,
+    cost: str = "sad",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Spiral-order SAD argmin over each block's search window.
 
@@ -128,7 +135,7 @@ def sad_spiral_argmin(
 
     grid = (n // cb,)
     kern = functools.partial(
-        _kernel, bs=bs, ext=ext, full_h=full_h, full_w=full_w
+        _kernel, bs=bs, ext=ext, full_h=full_h, full_w=full_w, cost=cost
     )
     out_dy, out_dx = pl.pallas_call(
         kern,

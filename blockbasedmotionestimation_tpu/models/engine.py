@@ -64,11 +64,14 @@ def _run_level(
     cfg: MotionConfig,
 ) -> jnp.ndarray:
     """Search + regularization schedule for one level; returns the stride-1 grid."""
-    grid = block_search_level(im1, im2, pred, bs, ss, impl=cfg.search_impl)
+    grid = block_search_level(
+        im1, im2, pred, bs, ss, impl=cfg.search_impl, order=cfg.search_order,
+        cost=cfg.cost,
+    )
     return run_schedule(
         im1, im2, grid, bs,
         float(bs) * cfg.lambda_scale,  # reference: block_size/2 (:73)
-        cfg.sweeps_per_round, cfg.regularizer,
+        cfg.sweeps_per_round, cfg.regularizer, cost=cfg.cost,
     )
 
 

@@ -154,20 +154,54 @@ def find_min_block_spiral(
     return min_y, min_x
 
 
+def find_min_block_raster(
+    im1: np.ndarray,
+    im2: np.ndarray,
+    y1: int,
+    x1: int,
+    y2: int,
+    x2: int,
+    block_size: int,
+    search_size: int,
+) -> tuple[int, int]:
+    """The exhaustive raster search (``motion_framework.cpp:246-294``).
+
+    The reference's dead code path: full scan of the clipped half-shift
+    window; strict-< SAD wins, equal SAD broken by smaller L1 distance of the
+    position to the SOURCE block (``:276-281``), further ties keep the first
+    raster visit.  An empty clipped window returns the (unclamped) predicted
+    position with no search - there is no zero-MV early-out here.
+    """
+    start_pos = (search_size - block_size) >> 1
+    height, width = im1.shape
+    sad_min = np.iinfo(np.int64).max
+    min_x, min_y = x2, y2
+    l1_dist = np.iinfo(np.int64).max
+    for k in range(max(0, y2 - start_pos), min(height - block_size + 1, y2 + start_pos + 1)):
+        for l in range(max(0, x2 - start_pos), min(width - block_size + 1, x2 + start_pos + 1)):
+            sad = _sad(im1, im2, y1, x1, k, l, block_size)
+            d = abs(x1 - l) + abs(y1 - k)
+            if sad < sad_min or (sad == sad_min and d < l1_dist):
+                sad_min, min_x, min_y, l1_dist = sad, l, k, d
+    return min_y, min_x
+
+
 def calc_level_bm(
     im1: np.ndarray,
     im2: np.ndarray,
     flow: np.ndarray,
     block_size: int,
     search_size: int,
+    order: str = "spiral",
 ) -> None:
     """Per-level block-matching sweep, in place (``:226-244``)."""
     height, width = im1.shape
+    finder = find_min_block_spiral if order == "spiral" else find_min_block_raster
     for i in range(0, height, block_size):
         for j in range(0, width, block_size):
             x2 = j + int(flow[i, j, 0])  # (int) truncation toward zero (:233-234)
             y2 = i + int(flow[i, j, 1])
-            min_y, min_x = find_min_block_spiral(
+            min_y, min_x = finder(
                 im1, im2, i, j, y2, x2, block_size, search_size
             )
             flow[i, j, 0] = np.float32(min_x - j)
@@ -298,7 +332,10 @@ def calc_motion_block_matching(
         im1, im2, flow = pyr1[level], pyr2[level], flows[level]
         if level < cfg.num_levels - 1:
             copy_mvs(flows[level + 1], flow, cfg.block_sizes[level + 1])
-        calc_level_bm(im1, im2, flow, cfg.block_sizes[level], cfg.search_sizes[level])
+        calc_level_bm(
+            im1, im2, flow, cfg.block_sizes[level], cfg.search_sizes[level],
+            order=cfg.search_order,
+        )
 
         bs = cfg.block_sizes[level]
         lam = np.float32(cfg.block_sizes[level] // 2)  # (float)(bs / 2), :73

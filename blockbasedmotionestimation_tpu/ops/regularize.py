@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from blockbasedmotionestimation_tpu.ops.search import extract_blocks
+from blockbasedmotionestimation_tpu.ops.search import block_cost, extract_blocks
 
 _F32_MAX = np.float32(np.finfo(np.float32).max)
 _BIG_RANK = np.int32(127)
@@ -121,6 +121,7 @@ def _energies(
     lam_mult: jnp.ndarray,    # f32 scalar: lambda * lambda_multiplier
     full_h: int,
     im2_row0: jnp.ndarray,
+    cost: str = "sad",
 ) -> jnp.ndarray:
     """(m, n, 9) float32 candidate energies (find_min_candidate, :532-621)."""
     h, w = full_h, im2.shape[1]
@@ -140,9 +141,7 @@ def _energies(
     tgt = jax.vmap(slice_one)(
         by.reshape(-1), jnp.clip(tx, 0, w - bs).reshape(-1)
     ).reshape(m, n, 9, bs, bs)
-    sad = jnp.sum(
-        jnp.abs(im1_blocks[:, :, None] - tgt), axis=(-1, -2), dtype=jnp.int32
-    )
+    sad = block_cost(im1_blocks[:, :, None], tgt, (-1, -2), cost)
 
     # smoothness: sum over PRESENT candidates of |c_i - c_j|_1 (:623-644)
     du = jnp.abs(cands[..., None, 0] - cands[..., None, :, 0])  # (m, n, 9, 9)
@@ -165,6 +164,7 @@ def _update_subset(
     row0: jnp.ndarray,
     im2_row0: jnp.ndarray,
     gp: jnp.ndarray | None = None,  # optional 1-padded grid (halo'd when tiled)
+    cost: str = "sad",
 ) -> jnp.ndarray:
     """Evaluate and apply the candidate update for the (iy x jx) block subset."""
     nby, nbx = grid.shape[:2]
@@ -198,7 +198,8 @@ def _update_subset(
     ox = (jj * bs).astype(jnp.int32) + jnp.zeros((m, n), jnp.int32)
 
     energy = _energies(
-        im1_blocks, im2, cands, present, oy, ox, bs, lam_mult, full_h, im2_row0
+        im1_blocks, im2, cands, present, oy, ox, bs, lam_mult, full_h, im2_row0,
+        cost,
     )
     winner = _select_lexicographic(energy, rank)  # (m, n)
     new_mv = jnp.take_along_axis(cands, winner[..., None, None], axis=2)[:, :, 0]
@@ -217,6 +218,7 @@ def _update_color_dynamic(
     full_h: int,
     row0: jnp.ndarray,
     im2_row0: jnp.ndarray,
+    cost: str = "sad",
 ) -> jnp.ndarray:
     """One color step with TRACED color offsets, for lax.scan over the sweep
     x color schedule (compile-time: one HLO instance per subdivision round
@@ -263,7 +265,7 @@ def _update_color_dynamic(
     oy = (gi * bs) + jnp.zeros((m, n), jnp.int32)
     ox = (jj * bs) + jnp.zeros((m, n), jnp.int32)
     energy = _energies(
-        blocks, im2, cands, present, oy, ox, bs, lam_mult, full_h, im2_row0
+        blocks, im2, cands, present, oy, ox, bs, lam_mult, full_h, im2_row0, cost
     )
     winner = _select_lexicographic(energy, rank)
     new_mv = jnp.take_along_axis(cands, winner[..., None, None], axis=2)[:, :, 0]
@@ -288,6 +290,7 @@ def run_schedule(
     row0: jnp.ndarray | int = 0,
     im2_row0: jnp.ndarray | int = 0,
     make_gp=None,
+    cost: str = "sad",
 ) -> jnp.ndarray:
     """The per-level regularization schedule (``motion_framework.cpp:141-152``):
     while bs > 1: { sweeps with lambda_multiplier = sweep+1; subdivide;
@@ -364,7 +367,8 @@ def run_schedule(
                 lam_mult, _, _ = x
                 gp3 = make_gp(g)
                 g = _update_color_jacobi(
-                    blocks, im2, g, gp3, cur, lam_mult, full_h, row0, im2_row0
+                    blocks, im2, g, gp3, cur, lam_mult, full_h, row0, im2_row0,
+                    cost,
                 )
                 return g, None
 
@@ -375,7 +379,7 @@ def run_schedule(
                 gp3 = make_gp(g)
                 g = _update_color_dynamic(
                     blocks, im2, g, gp3, cur, lam_mult, ci, cj,
-                    full_h, row0, im2_row0,
+                    full_h, row0, im2_row0, cost,
                 )
                 return g, None
 
@@ -398,6 +402,7 @@ def _update_color_jacobi(
     full_h: int,
     row0: jnp.ndarray,
     im2_row0: jnp.ndarray,
+    cost: str = "sad",
 ) -> jnp.ndarray:
     """Full-grid Jacobi update used inside the scheduled scan."""
     nby, nbx = grid.shape[:2]
@@ -422,7 +427,7 @@ def _update_color_jacobi(
     oy = (gi * bs) + jnp.zeros((nby, nbx), jnp.int32)
     ox = (mm * bs) + jnp.zeros((nby, nbx), jnp.int32)
     energy = _energies(
-        im1_blocks, im2, cands, present, oy, ox, bs, lam_mult, full_h, im2_row0
+        im1_blocks, im2, cands, present, oy, ox, bs, lam_mult, full_h, im2_row0, cost
     )
     winner = _select_lexicographic(energy, rank)
     return jnp.take_along_axis(cands, winner[..., None, None], axis=2)[:, :, 0]

@@ -36,6 +36,17 @@ from blockbasedmotionestimation_tpu.ops.spiral import spiral_offsets
 _I32_MAX = np.int32(np.iinfo(np.int32).max)
 
 
+def block_cost(a: jnp.ndarray, b: jnp.ndarray, axis, cost: str) -> jnp.ndarray:
+    """SAD (cv::norm NORM_L1, the reference cost) or SSD on int16 blocks."""
+    d = a - b
+    if cost == "sad":
+        return jnp.sum(jnp.abs(d), axis=axis, dtype=jnp.int32)
+    if cost == "ssd":
+        d32 = d.astype(jnp.int32)
+        return jnp.sum(d32 * d32, axis=axis, dtype=jnp.int32)
+    raise ValueError(f"unknown cost: {cost}")
+
+
 def extract_blocks(image: jnp.ndarray, bs: int) -> jnp.ndarray:
     """(H, W) -> (nby*nbx, bs, bs) row-major block grid."""
     h, w = image.shape
@@ -59,7 +70,88 @@ def _gather_windows(
     return jax.vmap(one)(by, bx)  # (nblk, win, win) uint8
 
 
-@partial(jax.jit, static_argnames=("bs", "ss", "full_h", "impl"))
+@partial(jax.jit, static_argnames=("bs", "ss", "full_h", "cost"))
+def _raster_search_level(
+    im1: jnp.ndarray,
+    im2: jnp.ndarray,
+    pred: jnp.ndarray,
+    bs: int,
+    ss: int,
+    full_h: int | None = None,
+    row0: jnp.ndarray | int = 0,
+    im2_row0: jnp.ndarray | int = 0,
+    cost: str = "sad",
+) -> jnp.ndarray:
+    """The reference's exhaustive raster search (``motion_framework.cpp:246-294``).
+
+    Full scan of the clipped half-shift window in raster order; strict-< SAD
+    wins, equal SAD broken by smaller L1 distance of the position to the
+    source block (``:276-281``), remaining ties keep the first raster visit.
+    No zero-MV early-out: an entirely clipped-away window keeps the predicted
+    position.
+    """
+    ht, w = im1.shape
+    h = ht if full_h is None else full_h
+    nby, nbx = ht // bs, w // bs
+    nblk = nby * nbx
+    sp = (ss - bs) >> 1  # start_pos (:249)
+
+    row0 = jnp.asarray(row0, dtype=jnp.int32)
+    im2_row0 = jnp.asarray(im2_row0, dtype=jnp.int32)
+    oy = (row0 + jnp.arange(nby, dtype=jnp.int32) * bs)[:, None]
+    ox = (jnp.arange(nbx, dtype=jnp.int32) * bs)[None, :]
+    cu = pred[..., 0].astype(jnp.int32)
+    cv = pred[..., 1].astype(jnp.int32)
+    cy = (oy + cv).reshape(nblk)  # unclamped predicted centers (global)
+    cx = (ox + cu).reshape(nblk)
+
+    blocks = extract_blocks(im1, bs).astype(jnp.int16)
+    by = jnp.clip(cy - im2_row0, 0, im2.shape[0] - bs)
+    windows = _gather_windows(im2, by, jnp.clip(cx, 0, w - bs), bs, sp).astype(jnp.int16)
+    cyc = by + im2_row0  # global row of each window's center
+    cxc = jnp.clip(cx, 0, w - bs)
+
+    oy1 = jnp.broadcast_to(oy, (nby, nbx)).reshape(nblk)
+    ox1 = jnp.broadcast_to(ox, (nby, nbx)).reshape(nblk)
+
+    def step(carry, off):
+        best_sad, best_l1, best_y, best_x = carry
+        dy, dx = off
+        win = jax.lax.dynamic_slice(windows, (0, dy, dx), (nblk, bs, bs))
+        sad = block_cost(blocks, win, (1, 2), cost)
+        py = cyc + (dy - sp)  # candidate position (global)
+        px = cxc + (dx - sp)
+        ok = (
+            (py >= jnp.maximum(0, cy - sp)) & (py <= jnp.minimum(h - bs, cy + sp))
+            & (px >= jnp.maximum(0, cx - sp)) & (px <= jnp.minimum(w - bs, cx + sp))
+        )
+        sad = jnp.where(ok, sad, _I32_MAX)
+        l1 = jnp.abs(ox1 - px) + jnp.abs(oy1 - py)  # distance to SOURCE (:276)
+        l1 = jnp.where(ok, l1, _I32_MAX)
+        better = (sad < best_sad) | ((sad == best_sad) & (l1 < best_l1))
+        return (
+            jnp.where(better, sad, best_sad),
+            jnp.where(better, l1, best_l1),
+            jnp.where(better, py, best_y),
+            jnp.where(better, px, best_x),
+        ), None
+
+    side = 2 * sp + 1
+    dys = jnp.repeat(jnp.arange(side, dtype=jnp.int32), side)
+    dxs = jnp.tile(jnp.arange(side, dtype=jnp.int32), side)
+    init = (
+        jnp.full((nblk,), _I32_MAX, dtype=jnp.int32),
+        jnp.full((nblk,), _I32_MAX, dtype=jnp.int32),
+        cy,  # empty window -> predicted position (:251-252)
+        cx,
+    )
+    (_, _, win_y, win_x), _ = jax.lax.scan(step, init, (dys, dxs))
+    u = (win_x - ox1).astype(jnp.float32).reshape(nby, nbx)
+    v = (win_y - oy1).astype(jnp.float32).reshape(nby, nbx)
+    return jnp.stack([u, v], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("bs", "ss", "full_h", "impl", "order", "cost"))
 def block_search_level(
     im1: jnp.ndarray,
     im2: jnp.ndarray,
@@ -70,6 +162,8 @@ def block_search_level(
     row0: jnp.ndarray | int = 0,
     im2_row0: jnp.ndarray | int = 0,
     impl: str = "xla",
+    order: str = "spiral",
+    cost: str = "sad",
 ) -> jnp.ndarray:
     """One ``calcLevelBM`` sweep (``motion_framework.cpp:226-244``).
 
@@ -88,6 +182,11 @@ def block_search_level(
     Returns:
       (nby, nbx, 2) float32 winning MVs (integer-valued).
     """
+    if order == "raster":
+        return _raster_search_level(
+            im1, im2, pred, bs, ss, full_h=full_h, row0=row0, im2_row0=im2_row0,
+            cost=cost,
+        )
     ht, w = im1.shape
     h = ht if full_h is None else full_h
     nby, nbx = ht // bs, w // bs
@@ -121,7 +220,7 @@ def block_search_level(
 
         best_dy, best_dx = sad_spiral_argmin(
             blocks, windows, cy_safe, cx_safe, bs, ss, h, w,
-            interpret=(impl == "pallas_interpret"),
+            cost=cost, interpret=(impl == "pallas_interpret"),
         )
     elif impl == "xla":
 
@@ -129,9 +228,7 @@ def block_search_level(
             best_sad, best_dy, best_dx = carry
             dy, dx = off
             win = jax.lax.dynamic_slice(windows, (0, dy, dx), (nblk, bs, bs))
-            sad = jnp.sum(
-                jnp.abs(blocks - win), axis=(1, 2), dtype=jnp.int32
-            )  # cv::norm NORM_L1 (:315)
+            sad = block_cost(blocks, win, (1, 2), cost)  # cv::norm NORM_L1 (:315)
             ty = cy_safe + (dy - ext)
             tx = cx_safe + (dx - ext)
             ok = (ty >= 0) & (ty <= h - bs) & (tx >= 0) & (tx <= w - bs)

@@ -90,6 +90,7 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
         grid = block_search_level(
             im1_t, im2_buf, pred_t, bs, ss,
             full_h=full_h, row0=row0, im2_row0=im2_row0, impl=cfg.search_impl,
+            order=cfg.search_order, cost=cfg.cost,
         )
 
         def make_gp(g):
@@ -102,6 +103,7 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
             im1_t, im2_buf, grid, bs,
             float(bs) * cfg.lambda_scale, cfg.sweeps_per_round, mode,
             full_h=full_h, row0=row0, im2_row0=im2_row0, make_gp=make_gp,
+            cost=cfg.cost,
         )
 
     return body

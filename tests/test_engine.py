@@ -161,3 +161,69 @@ def test_run_schedule_scan_equals_static_sweeps(rng):
         cur >>= 1
         lam *= 2.0
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("bs,ss", [(4, 8), (8, 16)])
+def test_raster_search_matches_oracle(rng, bs, ss):
+    h, w = 32, 40
+    im1, im2 = _pair(rng, h, w)
+    nby, nbx = h // bs, w // bs
+    pred = rng.integers(-6, 7, size=(nby, nbx, 2)).astype(np.float32)
+    pred[0, 0] = (1000.0, 1000.0)  # empty clipped window -> keeps prediction
+    pred[0, 1] = (-(w + 5.0), 0.0)  # partially clipped window
+
+    got = np.asarray(block_search_level(im1, im2, pred, bs, ss, order="raster"))
+
+    flow = np.zeros((h, w, 2), dtype=np.float32)
+    for i in range(nby):
+        for j in range(nbx):
+            flow[i * bs, j * bs] = pred[i, j]
+    oracle.calc_level_bm(im1, im2, flow, bs, ss, order="raster")
+    np.testing.assert_array_equal(got, flow[::bs, ::bs])
+
+
+def test_engine_raster_bit_exact_vs_oracle(rng):
+    cfg = MotionConfig(
+        block_sizes=(4, 4), search_sizes=(12, 12), interp_factor=1,
+        regularizer="exact", search_order="raster",
+    )
+    im1, im2 = _pair(rng, 32, 48, dy=1, dx=-2)
+    p = pad_ops.compute_padding(32, 48, cfg)
+    im1p = np.pad(im1, ((p.pad_y, p.pad_y), (p.pad_x, p.pad_x)))
+    im2p = np.pad(im2, ((p.pad_y, p.pad_y), (p.pad_x, p.pad_x)))
+    want = oracle.calc_motion_block_matching(im1p, im2p, cfg)
+    got = np.asarray(engine.estimate_flow_padded(im1p, im2p, cfg))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ssd_cost_search(rng):
+    # independent numpy SSD argmin check on a single block
+    im1, im2 = _pair(rng, 16, 16, dy=0, dx=0)
+    pred = np.zeros((2, 2, 2), dtype=np.float32)
+    got = np.asarray(
+        block_search_level(im1, im2, pred, 8, 16, cost="ssd")
+    )
+    # brute-force SSD for block (0,0): window offsets [-4, 4]
+    best, arg = None, (0, 0)
+    b = im1[:8, :8].astype(np.int64)
+    for dy in range(-4, 5):
+        for dx in range(-4, 5):
+            y, x = dy, dx
+            if y < 0 or x < 0 or y + 8 > 16 or x + 8 > 16:
+                continue
+            w = im2[y : y + 8, x : x + 8].astype(np.int64)
+            ssd = int(((b - w) ** 2).sum())
+            if best is None or ssd < best:
+                best, arg = ssd, (dx, dy)
+    assert tuple(got[0, 0]) == arg
+
+
+def test_ssd_driver_recovers_translation(rng):
+    cfg = MotionConfig(
+        block_sizes=(4, 4), search_sizes=(12, 12), interp_factor=1,
+        regularizer="fourcolor", cost="ssd",
+    )
+    im1, im2 = _pair(rng, 32, 32, dy=2, dx=3, margin=8)
+    flow = np.asarray(engine.estimate_flow_driver(im1, im2, cfg))
+    assert np.median(flow[8:24, 8:24, 0]) == -3.0
+    assert np.median(flow[8:24, 8:24, 1]) == -2.0
