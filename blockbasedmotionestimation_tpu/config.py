@@ -13,7 +13,7 @@ import dataclasses
 from typing import Literal, Sequence
 
 CostKind = Literal["sad", "ssd"]
-RegularizerMode = Literal["exact", "fourcolor", "jacobi"]
+RegularizerMode = Literal["exact", "fourcolor", "jacobi", "windowed"]
 SearchImpl = Literal["xla", "pallas", "pallas_interpret"]
 SearchOrder = Literal["spiral", "raster"]
 
@@ -41,6 +41,11 @@ class MotionConfig:
         ``fourcolor`` - 4-color Gauss-Seidel (parallel within a color); fast,
                         near-identical quality, NOT bit-exact.
         ``jacobi``    - fully parallel sweeps reading the previous iterate.
+        ``windowed``  - fourcolor ordering evaluated on per-parent search
+                        windows with candidate deltas bounded by reg_radius;
+                        the TPU production fast path (no fine-grained
+                        gathers).  Bit-identical to fourcolor whenever no
+                        candidate delta exceeds the radius.
       sweeps_per_round: regularization sweeps per block-subdivision round; the
         reference does 2 with lambda_multiplier = sweep_index + 1
         (``motion_framework.cpp:143-146``).
@@ -49,6 +54,8 @@ class MotionConfig:
         each subdivision (``:151``).
       search_impl: cost-volume backend - ``xla`` scan or the ``pallas`` VMEM
         kernel (``pallas_interpret`` for CPU debugging).
+      reg_radius: max |candidate delta| from the parent search MV in
+        ``windowed`` mode; None means the level's spiral extent S.
       search_order: ``spiral`` is the reference's live path
         (``motion_framework.cpp:296-422``); ``raster`` is its exhaustive
         variant with the closest-to-source tie-break (``:246-294``).
@@ -63,6 +70,7 @@ class MotionConfig:
     lambda_scale: float = 0.5
     search_impl: SearchImpl = "xla"
     search_order: SearchOrder = "spiral"
+    reg_radius: int | None = None
 
     def __post_init__(self) -> None:
         if len(self.block_sizes) != len(self.search_sizes):

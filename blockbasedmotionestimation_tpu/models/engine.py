@@ -31,6 +31,7 @@ from blockbasedmotionestimation_tpu.ops import pad as pad_ops
 from blockbasedmotionestimation_tpu.ops import resample
 from blockbasedmotionestimation_tpu.ops.regularize import run_schedule
 from blockbasedmotionestimation_tpu.ops.search import block_search_level
+from blockbasedmotionestimation_tpu.ops.windowed import windowed_schedule
 
 
 def transfer_mvs(dense_coarse: jnp.ndarray, coarse_bs: int, fine_bs: int) -> jnp.ndarray:
@@ -68,9 +69,14 @@ def _run_level(
         im1, im2, pred, bs, ss, impl=cfg.search_impl, order=cfg.search_order,
         cost=cfg.cost,
     )
+    lam0 = float(bs) * cfg.lambda_scale  # reference: block_size/2 (:73)
+    if cfg.regularizer == "windowed":
+        return windowed_schedule(
+            im1, im2, grid, bs, ss, lam0, cfg.sweeps_per_round,
+            cost=cfg.cost, reg_radius=cfg.reg_radius,
+        )
     return run_schedule(
-        im1, im2, grid, bs,
-        float(bs) * cfg.lambda_scale,  # reference: block_size/2 (:73)
+        im1, im2, grid, bs, lam0,
         cfg.sweeps_per_round, cfg.regularizer, cost=cfg.cost,
     )
 

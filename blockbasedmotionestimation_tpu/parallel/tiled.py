@@ -48,14 +48,32 @@ from blockbasedmotionestimation_tpu.ops.search import block_search_level
 
 def mv_bound(cfg: MotionConfig, level: int) -> int:
     """Worst-case |MV| component at `level` after its search: the propagated
-    coarse MV doubles per level and each search adds its spiral extent
-    (regularization only adopts existing candidates, so it cannot grow MVs)."""
+    coarse MV doubles per level and each search adds its spiral extent.
+    Gather-mode regularization only adopts existing candidates (no growth);
+    windowed mode can push an MV up to reg_radius past its parent search MV
+    per level, so the bound grows by R_l there."""
     from blockbasedmotionestimation_tpu.ops.spiral import spiral_extent
 
-    m = 0
+    m = 0  # max |MV| after the coarser level completes
     for l in range(cfg.num_levels - 1, level - 1, -1):
-        m = 2 * m + spiral_extent(cfg.shift(l))
+        s = spiral_extent(cfg.shift(l))
+        m = 2 * m + s  # search reach at level l
+        if cfg.regularizer == "windowed" and l > level:
+            r = s if cfg.reg_radius is None else min(cfg.reg_radius, s)
+            m += r
     return m
+
+
+def im2_halo(cfg: MotionConfig, level: int) -> int:
+    """Frame-2 halo rows needed at `level`: the search-window reach, plus the
+    regularizer windows' extra spiral-extent reach in windowed mode."""
+    from blockbasedmotionestimation_tpu.ops.spiral import spiral_extent
+
+    s = spiral_extent(cfg.shift(level))
+    halo = mv_bound(cfg, level)
+    if cfg.regularizer == "windowed":
+        halo += s
+    return halo
 
 
 def _exchange_rows(x: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
@@ -98,10 +116,18 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
             gh = _exchange_rows(g, 1, axis)  # (north, local, south) rows
             return jnp.pad(gh, ((0, 1), (1, 2), (0, 0)))
 
+        lam0 = float(bs) * cfg.lambda_scale
+        if cfg.regularizer == "windowed":
+            from blockbasedmotionestimation_tpu.ops.windowed import windowed_schedule
+
+            return windowed_schedule(
+                im1_t, im2_buf, grid, bs, ss, lam0, cfg.sweeps_per_round,
+                cost=cfg.cost, reg_radius=cfg.reg_radius,
+                full_h=full_h, row0=row0, im2_row0=im2_row0, make_gp=make_gp,
+            )
         mode = cfg.regularizer if cfg.regularizer != "exact" else "fourcolor"
         return reg.run_schedule(
-            im1_t, im2_buf, grid, bs,
-            float(bs) * cfg.lambda_scale, cfg.sweeps_per_round, mode,
+            im1_t, im2_buf, grid, bs, lam0, cfg.sweeps_per_round, mode,
             full_h=full_h, row0=row0, im2_row0=im2_row0, make_gp=make_gp,
             cost=cfg.cost,
         )
@@ -149,7 +175,7 @@ def estimate_flow_padded_tiled(
         else:
             pred = engine.transfer_mvs(dense, cfg.block_sizes[level + 1], bs)
 
-        halo = mv_bound(cfg, level)
+        halo = im2_halo(cfg, level)
         if _level_shardable(h, w, bs, t) and halo < h // t:
             im1 = jax.lax.with_sharding_constraint(im1, row_sharding)
             im2 = jax.lax.with_sharding_constraint(im2, row_sharding)

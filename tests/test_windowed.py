@@ -1,0 +1,86 @@
+"""Windowed (search-window-reuse) regularizer: equivalence + quality."""
+
+import os
+
+import numpy as np
+import pytest
+
+from blockbasedmotionestimation_tpu.config import MotionConfig
+from blockbasedmotionestimation_tpu.models import engine
+from blockbasedmotionestimation_tpu.utils import flowio, synth
+
+
+def _pair(rng, h, w, dy=2, dx=-3, margin=10):
+    base = rng.integers(0, 256, size=(h + 2 * margin, w + 2 * margin), dtype=np.uint8)
+    return (
+        base[margin : margin + h, margin : margin + w],
+        base[margin + dy : margin + dy + h, margin + dx : margin + dx + w],
+    )
+
+
+def test_windowed_equals_fourcolor_when_deltas_small(rng):
+    # uniform translation: in the interior every candidate delta is far below
+    # the radius, so windowed must be BIT-IDENTICAL to fourcolor there (the
+    # zero-padding border can seed junk MVs whose neighbor deltas exceed R,
+    # the documented deviation)
+    cfg4 = MotionConfig(
+        block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
+        regularizer="fourcolor",
+    )
+    cfgw = cfg4.replace(regularizer="windowed")
+    im1, im2 = _pair(rng, 64, 64, dy=1, dx=-2)
+    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfg4))
+    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfgw))
+    np.testing.assert_array_equal(a[16:-16, 16:-16], b[16:-16, 16:-16])
+    assert (a == b).all(axis=-1).mean() > 0.9
+
+
+def test_windowed_random_frames_close_to_fourcolor(rng):
+    # independent random frames (worst case for the delta clamp): fields may
+    # differ at a few blocks but must agree almost everywhere
+    cfg4 = MotionConfig(
+        block_sizes=(8,), search_sizes=(24,), interp_factor=1,
+        regularizer="fourcolor",
+    )
+    cfgw = cfg4.replace(regularizer="windowed")
+    im1 = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    im2 = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfg4))
+    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfgw))
+    frac_equal = (a == b).all(axis=-1).mean()
+    assert frac_equal > 0.85, frac_equal
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/middlebury/gt-flow"),
+    reason="reference gt-flow not mounted",
+)
+def test_windowed_epe_matches_fourcolor_on_dimetrodon():
+    from blockbasedmotionestimation_tpu.models import evaluate
+
+    cfg4 = MotionConfig(
+        block_sizes=(16, 16), search_sizes=(32, 32), interp_factor=1,
+        regularizer="fourcolor",
+    )
+    cfgw = cfg4.replace(regularizer="windowed")
+    gt_dir = "/root/reference/middlebury/gt-flow"
+    e4 = evaluate.evaluate_sequence("Dimetrodon", gt_dir, cfg4).epe
+    ew = evaluate.evaluate_sequence("Dimetrodon", gt_dir, cfgw).epe
+    assert ew < 1.0
+    assert abs(ew - e4) < 0.1, (ew, e4)
+
+
+def test_windowed_tiled_equals_untiled(rng):
+    import jax
+    from jax.sharding import Mesh
+    from blockbasedmotionestimation_tpu.parallel import tiled
+
+    cfg = MotionConfig(
+        block_sizes=(4, 4), search_sizes=(6, 6), interp_factor=1,
+        regularizer="windowed",
+    )
+    im1, im2 = _pair(rng, 128, 64, dy=1, dx=-1, margin=16)
+    mesh = Mesh(np.array(jax.devices()), ("ty",))
+    want = np.asarray(engine.estimate_flow_padded(im1, im2, cfg))
+    got = np.asarray(tiled.estimate_flow_padded_tiled(im1, im2, cfg, mesh))
+    np.testing.assert_array_equal(got, want)
