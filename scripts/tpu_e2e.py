@@ -22,8 +22,10 @@ im1 = jax.device_put(jnp.asarray(base[:H, :W]))
 im2 = jax.device_put(jnp.asarray(base[5:5 + H, 9:9 + W]))
 _ = np.asarray(im1[0, 0])  # force upload
 
+import sys
+reg = sys.argv[1] if len(sys.argv) > 1 else "windowed"
 cfg = MotionConfig(block_sizes=(32,)*4, search_sizes=(64,)*4,
-                   interp_factor=1, regularizer="fourcolor")
+                   interp_factor=1, regularizer=reg)
 
 
 def sync(x):
