@@ -3,7 +3,8 @@
 Workload: one 1080p (1080x1920) grayscale frame pair through the flagship
 configuration - 4-level pyramid, 32px blocks, 64px search windows (the
 reference's shipped config, main_class.cpp:19-21, minus the 4x Middlebury
-interpolation trick), fourcolor regularization to 1px blocks.
+interpolation trick), windowed regularization (the gather-free TPU schedule)
+to 1px blocks.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -45,7 +46,7 @@ def main() -> None:
         block_sizes=(32, 32, 32, 32),
         search_sizes=(64, 64, 64, 64),
         interp_factor=1,
-        regularizer="fourcolor",
+        regularizer="windowed",  # the TPU production fast path
     )
     rng = np.random.default_rng(0)
     base = rng.integers(0, 256, size=(H + 16, W + 16), dtype=np.uint8)
