@@ -1,0 +1,5 @@
+"""Enable the persistent compile cache for all profiling scripts."""
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

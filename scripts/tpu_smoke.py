@@ -6,6 +6,7 @@ import time
 import numpy as np
 
 import jax
+import _cache  # noqa: F401  (persistent compile cache)
 
 print("backend:", jax.default_backend(), jax.devices(), flush=True)
 

@@ -4,6 +4,7 @@ import time
 
 import numpy as np
 import jax
+import _cache  # noqa: F401  (persistent compile cache)
 import jax.numpy as jnp
 
 print("backend:", jax.default_backend(), flush=True)
