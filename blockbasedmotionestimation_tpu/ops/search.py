@@ -114,38 +114,44 @@ def _raster_search_level(
     oy1 = jnp.broadcast_to(oy, (nby, nbx)).reshape(nblk)
     ox1 = jnp.broadcast_to(ox, (nby, nbx)).reshape(nblk)
 
-    def step(carry, off):
-        best_sad, best_l1, best_y, best_x = carry
-        dy, dx = off
-        win = jax.lax.dynamic_slice(windows, (0, dy, dx), (nblk, bs, bs))
-        sad = block_cost(blocks, win, (1, 2), cost)
-        py = cyc + (dy - sp)  # candidate position (global)
-        px = cxc + (dx - sp)
-        ok = (
-            (py >= jnp.maximum(0, cy - sp)) & (py <= jnp.minimum(h - bs, cy + sp))
-            & (px >= jnp.maximum(0, cx - sp)) & (px <= jnp.minimum(w - bs, cx + sp))
-        )
-        sad = jnp.where(ok, sad, _I32_MAX)
-        l1 = jnp.abs(ox1 - px) + jnp.abs(oy1 - py)  # distance to SOURCE (:276)
-        l1 = jnp.where(ok, l1, _I32_MAX)
-        better = (sad < best_sad) | ((sad == best_sad) & (l1 < best_l1))
-        return (
-            jnp.where(better, sad, best_sad),
-            jnp.where(better, l1, best_l1),
-            jnp.where(better, py, best_y),
-            jnp.where(better, px, best_x),
-        ), None
-
     side = 2 * sp + 1
-    dys = jnp.repeat(jnp.arange(side, dtype=jnp.int32), side)
-    dxs = jnp.tile(jnp.arange(side, dtype=jnp.int32), side)
+
+    def step(carry, dy):
+        # one scan step per window ROW; columns unrolled (raster order kept)
+        best_sad, best_l1, best_y, best_x = carry
+        strip = jax.lax.dynamic_slice(
+            windows, (0, dy, 0), (nblk, bs, windows.shape[2])
+        )
+        py = cyc + (dy - sp)
+        ok_y = (py >= jnp.maximum(0, cy - sp)) & (py <= jnp.minimum(h - bs, cy + sp))
+        for dx in range(side):
+            win = strip[:, :, dx : dx + bs]
+            sad = block_cost(blocks, win, (1, 2), cost)
+            px = cxc + (dx - sp)
+            ok = (
+                ok_y
+                & (px >= jnp.maximum(0, cx - sp))
+                & (px <= jnp.minimum(w - bs, cx + sp))
+            )
+            sad = jnp.where(ok, sad, _I32_MAX)
+            l1 = jnp.abs(ox1 - px) + jnp.abs(oy1 - py)  # dist to SOURCE (:276)
+            l1 = jnp.where(ok, l1, _I32_MAX)
+            better = (sad < best_sad) | ((sad == best_sad) & (l1 < best_l1))
+            best_sad = jnp.where(better, sad, best_sad)
+            best_l1 = jnp.where(better, l1, best_l1)
+            best_y = jnp.where(better, py, best_y)
+            best_x = jnp.where(better, px, best_x)
+        return (best_sad, best_l1, best_y, best_x), None
+
     init = (
         jnp.full((nblk,), _I32_MAX, dtype=jnp.int32),
         jnp.full((nblk,), _I32_MAX, dtype=jnp.int32),
         cy,  # empty window -> predicted position (:251-252)
         cx,
     )
-    (_, _, win_y, win_x), _ = jax.lax.scan(step, init, (dys, dxs))
+    (_, _, win_y, win_x), _ = jax.lax.scan(
+        step, init, jnp.arange(side, dtype=jnp.int32)
+    )
     u = (win_x - ox1).astype(jnp.float32).reshape(nby, nbx)
     v = (win_y - oy1).astype(jnp.float32).reshape(nby, nbx)
     return jnp.stack([u, v], axis=-1)
@@ -223,29 +229,47 @@ def block_search_level(
             cost=cost, interpret=(impl == "pallas_interpret"),
         )
     elif impl == "xla":
+        # chunk the spiral scan: per-iteration overhead (~100us on remote
+        # backends) amortizes over CHUNK unrolled offsets; strict-< updates
+        # applied in visit order inside the chunk keep tie-breaks exact
+        chunk = 2 * ext + 1 if ext else 1
+        n_off = len(dys)
+        pad_off = -n_off % chunk
+        dys_p = np.concatenate([dys, np.zeros(pad_off, np.int32)]) + ext
+        dxs_p = np.concatenate([dxs, np.zeros(pad_off, np.int32)]) + ext
+        valid_off = np.concatenate(
+            [np.ones(n_off, bool), np.zeros(pad_off, bool)]
+        )
 
-        def step(carry, off):
+        def step(carry, offs_chunk):
             best_sad, best_dy, best_dx = carry
-            dy, dx = off
-            win = jax.lax.dynamic_slice(windows, (0, dy, dx), (nblk, bs, bs))
-            sad = block_cost(blocks, win, (1, 2), cost)  # cv::norm NORM_L1 (:315)
-            ty = cy_safe + (dy - ext)
-            tx = cx_safe + (dx - ext)
-            ok = (ty >= 0) & (ty <= h - bs) & (tx >= 0) & (tx <= w - bs)
-            sad = jnp.where(ok, sad, _I32_MAX)
-            better = sad < best_sad  # strict <: first visit wins ties
-            return (
-                jnp.where(better, sad, best_sad),
-                jnp.where(better, dy, best_dy),
-                jnp.where(better, dx, best_dx),
-            ), None
+            dy_c, dx_c, ok_c = offs_chunk
+            for k in range(chunk):
+                dy, dx, okk = dy_c[k], dx_c[k], ok_c[k]
+                win = jax.lax.dynamic_slice(windows, (0, dy, dx), (nblk, bs, bs))
+                sad = block_cost(blocks, win, (1, 2), cost)  # cv::norm (:315)
+                ty = cy_safe + (dy - ext)
+                tx = cx_safe + (dx - ext)
+                ok = (
+                    okk & (ty >= 0) & (ty <= h - bs) & (tx >= 0) & (tx <= w - bs)
+                )
+                sad = jnp.where(ok, sad, _I32_MAX)
+                better = sad < best_sad  # strict <: first visit wins ties
+                best_sad = jnp.where(better, sad, best_sad)
+                best_dy = jnp.where(better, dy, best_dy)
+                best_dx = jnp.where(better, dx, best_dx)
+            return (best_sad, best_dy, best_dx), None
 
         init = (
             jnp.full((nblk,), _I32_MAX, dtype=jnp.int32),
             jnp.full((nblk,), ext, dtype=jnp.int32),  # center offset (rank 0)
             jnp.full((nblk,), ext, dtype=jnp.int32),
         )
-        offs = (jnp.asarray(dys + ext), jnp.asarray(dxs + ext))
+        offs = (
+            jnp.asarray(dys_p.reshape(-1, chunk)),
+            jnp.asarray(dxs_p.reshape(-1, chunk)),
+            jnp.asarray(valid_off.reshape(-1, chunk)),
+        )
         (_, best_dy, best_dx), _ = jax.lax.scan(step, init, offs)
     else:
         raise ValueError(f"unknown search impl: {impl}")

@@ -61,24 +61,29 @@ def _compute_cv(
     side = 2 * r + 1
     dt = _cv_dtype(cur, cost)
 
-    def step(_, didx):
-        dy = didx // side - r
-        dx = didx % side - r
-        w = jax.lax.dynamic_slice(
-            windows, (0, 0, ext + dy, ext + dx), (npy, npx, bs, bs)
+    # one scan step per delta ROW, columns unrolled inside: scan-iteration
+    # overhead (~100us/step on remote backends) amortizes over `side` slices
+    def step(_, dy):
+        strip = jax.lax.dynamic_slice(
+            windows, (0, 0, ext + dy - r, 0), (npy, npx, bs, windows.shape[3])
         )
-        d = patches1 - w
-        if cost == "sad":
-            dmap = jnp.abs(d).astype(jnp.int32)
-        else:
-            d32 = d.astype(jnp.int32)
-            dmap = d32 * d32
-        cv = dmap.reshape(npy, npx, f, cur, f, cur).sum(axis=(3, 5))
-        cv = cv.transpose(0, 2, 1, 3).reshape(npy * f, npx * f)
-        return None, cv.astype(dt)
+        outs = []
+        for dxi in range(side):
+            w = strip[:, :, :, ext + dxi - r : ext + dxi - r + bs]
+            d = patches1 - w
+            if cost == "sad":
+                dmap = jnp.abs(d).astype(jnp.int32)
+            else:
+                d32 = d.astype(jnp.int32)
+                dmap = d32 * d32
+            cvr = dmap.reshape(npy, npx, f, cur, f, cur).sum(axis=(3, 5))
+            outs.append(
+                cvr.transpose(0, 2, 1, 3).reshape(npy * f, npx * f).astype(dt)
+            )
+        return None, jnp.stack(outs)  # (side, nby, nbx)
 
-    _, cv = jax.lax.scan(step, None, jnp.arange(side * side, dtype=jnp.int32))
-    return cv  # (side^2, nby, nbx)
+    _, cv = jax.lax.scan(step, None, jnp.arange(side, dtype=jnp.int32))
+    return cv.reshape(side * side, npy * f, npx * f)  # (side^2, nby, nbx)
 
 
 def _select_costs(

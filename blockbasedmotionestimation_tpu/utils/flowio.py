@@ -14,8 +14,8 @@ Re-derivation of the reference's ``rw_flow.cpp`` (itself a port of Scharstein's
     and keep a value-compatible alias.
   * ``color_legend``                <- ``middlebury/flow-code/colortest.cpp``.
 
-A native C++ fast path for bulk ``.flo`` decode lives in ``tools/flowio_native``
-and is used automatically when built (see ``native_flowio``).
+A native C++ fast path (bulk ``.flo`` decode, PGM, EPE) lives in
+``native/flowio_native.cpp`` behind the ctypes bindings in ``native_io``.
 """
 
 from __future__ import annotations
@@ -231,20 +231,50 @@ calculate_mse = average_epe
 
 
 def read_gray(path: str | os.PathLike) -> np.ndarray:
-    """Read an image as 8-bit grayscale, matching ``cv::imread(path, 0)``."""
-    import cv2
+    """Read an image as 8-bit grayscale, matching ``cv::imread(path, 0)``.
 
-    img = cv2.imread(os.fspath(path), cv2.IMREAD_GRAYSCALE)
-    if img is None:
-        raise FileNotFoundError(f"read_gray: could not open {path}")
-    return img
+    Prefers OpenCV (exact parity with the reference's color->gray weights);
+    falls back to the native PGM codec, then PIL ("L" uses the same BT.601
+    weights as OpenCV).
+    """
+    path = os.fspath(path)
+    try:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(f"read_gray: could not open {path}")
+        return img
+    except ImportError:
+        pass
+    if path.lower().endswith((".pgm", ".ppm")):
+        from blockbasedmotionestimation_tpu.utils import native_io
+
+        if native_io.available():
+            return native_io.read_pgm(path)
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("L"))
 
 
 def write_image(path: str | os.PathLike, img: np.ndarray) -> None:
     """Write an image (RGB or grayscale uint8) to disk."""
-    import cv2
+    img = np.ascontiguousarray(img)
+    path = os.fspath(path)
+    try:
+        import cv2
 
-    img = np.asarray(img)
-    if img.ndim == 3:
-        img = img[..., ::-1]  # RGB -> BGR for OpenCV
-    cv2.imwrite(os.fspath(path), img)
+        out = img[..., ::-1] if img.ndim == 3 else img  # RGB -> BGR
+        cv2.imwrite(path, out)
+        return
+    except ImportError:
+        pass
+    if path.lower().endswith(".pgm") and img.ndim == 2:
+        from blockbasedmotionestimation_tpu.utils import native_io
+
+        if native_io.available():
+            native_io.write_pgm(path, img)
+            return
+    from PIL import Image
+
+    Image.fromarray(img).save(path)
