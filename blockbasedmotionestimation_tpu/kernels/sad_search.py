@@ -1,16 +1,21 @@
 """Pallas TPU kernel for the spiral block-search cost volume.
 
-Computes, for a batch of blocks, the (2S+1)^2 SAD cost volume against each
-block's search window and the spiral-order strict-< argmin - the same math as
+Computes, for a batch of blocks, the (2S+1)^2 SAD/SSD cost volume against
+each block's search window and the spiral-order argmin - the same math as
 ``ops.search.block_search_level``'s XLA scan (reference hot kernel,
 ``motion_framework.cpp:296-422``), with explicit VMEM residency and a
 lane-friendly layout:
 
   * blocks and windows are laid out (rows, cols, CB) with the BLOCK index on
     the 128-wide lane dimension, so every VPU op runs at full lane
-    utilization and window slicing shifts sublanes/planes, never lanes;
-  * the offset loop reads spiral-ordered (dy, dx) pairs from SMEM via scalar
-    prefetch; the strict-< update reproduces first-visit-wins tie-breaks;
+    utilization;
+  * the offset loop is a fori over window rows (dynamic index on the untiled
+    major dim - Mosaic allows any offset there) with window columns unrolled
+    at STATIC offsets (dynamic sublane offsets would need provable tile
+    alignment);
+  * visiting offsets in raster order with a lexicographic (cost, spiral_rank)
+    update is equivalent to the walk's first-visit-wins strict-< updates;
+    ranks stream from SMEM via scalar prefetch;
   * out-of-frame offsets are masked to +INT_MAX per block from the center
     coordinates, matching the walk's skipped-but-advancing cursor.
 
@@ -29,15 +34,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from blockbasedmotionestimation_tpu.ops.spiral import spiral_offsets
+from blockbasedmotionestimation_tpu.ops.spiral import spiral_rank
 
 _I32_MAX = np.int32(np.iinfo(np.int32).max)
 
 
 def _kernel(
     # scalar prefetch
-    dy_ref,      # (K,) i32 spiral-ordered window row offsets (0..2S)
-    dx_ref,      # (K,) i32 spiral-ordered window col offsets (0..2S)
+    rank_ref,    # (side*side,) i32 spiral first-visit rank, raster order
     # tensor inputs
     blocks_ref,  # (bs, bs, CB) i16  - im1 blocks, block index on lanes
     windows_ref, # (win, win, CB) i16 - im2 search windows
@@ -53,39 +57,43 @@ def _kernel(
     full_w: int,
     cost: str,
 ):
-    k_total = dy_ref.shape[0]
+    side = 2 * ext + 1
     b = blocks_ref[...].astype(jnp.int32)  # (bs, bs, CB)
     cy = cy_ref[0, :]  # (CB,)
     cx = cx_ref[0, :]
-
-    def body(k, carry):
-        best_sad, best_dy, best_dx = carry  # (CB,) i32
-        dy = dy_ref[k]
-        dx = dx_ref[k]
-        win = windows_ref[pl.ds(dy, bs), pl.ds(dx, bs), :].astype(jnp.int32)
-        d = b - win
-        if cost == "sad":
-            sad = jnp.sum(jnp.abs(d), axis=(0, 1))  # (CB,) i32
-        else:  # ssd
-            sad = jnp.sum(d * d, axis=(0, 1))
-        ty = cy + (dy - ext)
-        tx = cx + (dx - ext)
-        ok = (ty >= 0) & (ty <= full_h - bs) & (tx >= 0) & (tx <= full_w - bs)
-        sad = jnp.where(ok, sad, _I32_MAX)
-        better = sad < best_sad  # strict <: first spiral visit wins ties
-        return (
-            jnp.where(better, sad, best_sad),
-            jnp.where(better, dy, best_dy),
-            jnp.where(better, dx, best_dx),
-        )
-
     cb = b.shape[-1]
+
+    def row_body(dy, carry):
+        best_sad, best_rank, best_dy, best_dx = carry
+        strip = windows_ref[pl.ds(dy, bs), :, :].astype(jnp.int32)  # (bs, win, CB)
+        ty = cy + (dy - ext)
+        ok_y = (ty >= 0) & (ty <= full_h - bs)
+        for dx in range(side):
+            win = strip[:, dx : dx + bs, :]
+            d = b - win
+            if cost == "sad":
+                sad = jnp.sum(jnp.abs(d), axis=(0, 1))  # (CB,) i32
+            else:  # ssd
+                sad = jnp.sum(d * d, axis=(0, 1))
+            tx = cx + (dx - ext)
+            ok = ok_y & (tx >= 0) & (tx <= full_w - bs)
+            sad = jnp.where(ok, sad, _I32_MAX)
+            rank = rank_ref[dy * side + dx]
+            # lexicographic (cost, spiral rank) == first-visit-wins strict <
+            better = (sad < best_sad) | ((sad == best_sad) & (rank < best_rank))
+            best_sad = jnp.where(better, sad, best_sad)
+            best_rank = jnp.where(better, rank, best_rank)
+            best_dy = jnp.where(better, dy, best_dy)
+            best_dx = jnp.where(better, dx, best_dx)
+        return best_sad, best_rank, best_dy, best_dx
+
     init = (
+        jnp.full((cb,), _I32_MAX, dtype=jnp.int32),
         jnp.full((cb,), _I32_MAX, dtype=jnp.int32),
         jnp.full((cb,), ext, dtype=jnp.int32),
         jnp.full((cb,), ext, dtype=jnp.int32),
     )
-    _, bdy, bdx = jax.lax.fori_loop(0, k_total, body, init)
+    _, _, bdy, bdx = jax.lax.fori_loop(0, side, row_body, init)
     dy_out[0, :] = bdy
     dx_out[0, :] = bdx
 
@@ -107,7 +115,7 @@ def sad_spiral_argmin(
     interpret: bool = False,
     cost: str = "sad",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Spiral-order SAD argmin over each block's search window.
+    """Spiral-order SAD/SSD argmin over each block's search window.
 
     Returns (best_dy, best_dx), each (nblk,) i32 in window coordinates
     (0..2S, center at S=ext); the caller converts to MVs and applies the
@@ -115,9 +123,10 @@ def sad_spiral_argmin(
     """
     nblk = blocks.shape[0]
     shift = ss - bs
-    dys, dxs, ext = spiral_offsets(shift)
+    ranks = spiral_rank(shift)  # (side, side) first-visit ranks
+    ext = (ranks.shape[0] - 1) // 2
+    side = 2 * ext + 1
     win = bs + 2 * ext
-    k_total = len(dys)
 
     cb = min(block_chunk, nblk)
     npad = -nblk % cb
@@ -140,7 +149,7 @@ def sad_spiral_argmin(
     out_dy, out_dx = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((bs, bs, cb), lambda i, *_: (0, 0, i),
@@ -161,10 +170,10 @@ def sad_spiral_argmin(
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=3 * n * k_total * bs * bs,
+            flops=3 * n * side * side * bs * bs,
             bytes_accessed=n * (win * win + bs * bs) * 2 + 2 * n * 4,
             transcendentals=0,
         ),
-    )(jnp.asarray(dys + ext), jnp.asarray(dxs + ext), blocks_t, windows_t, cy2, cx2)
+    )(jnp.asarray(ranks.reshape(-1)), blocks_t, windows_t, cy2, cx2)
 
     return out_dy[0, :nblk], out_dx[0, :nblk]
