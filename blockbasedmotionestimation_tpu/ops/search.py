@@ -229,48 +229,48 @@ def block_search_level(
             cost=cost, interpret=(impl == "pallas_interpret"),
         )
     elif impl == "xla":
-        # chunk the spiral scan: per-iteration overhead (~100us on remote
-        # backends) amortizes over CHUNK unrolled offsets; strict-< updates
-        # applied in visit order inside the chunk keep tie-breaks exact
-        chunk = 2 * ext + 1 if ext else 1
-        n_off = len(dys)
-        pad_off = -n_off % chunk
-        dys_p = np.concatenate([dys, np.zeros(pad_off, np.int32)]) + ext
-        dxs_p = np.concatenate([dxs, np.zeros(pad_off, np.int32)]) + ext
-        valid_off = np.concatenate(
-            [np.ones(n_off, bool), np.zeros(pad_off, bool)]
-        )
+        # lane-major layout (pixels on sublanes, BLOCKS on the 128-wide lane
+        # dim) keeps every VPU op at full lane utilization; one scan step per
+        # window row (dynamic major-dim slice), columns unrolled at static
+        # offsets.  Raster visiting with a lexicographic (cost, spiral rank)
+        # update is equivalent to the walk's first-visit-wins strict <.
+        from blockbasedmotionestimation_tpu.ops.spiral import spiral_rank
 
-        def step(carry, offs_chunk):
-            best_sad, best_dy, best_dx = carry
-            dy_c, dx_c, ok_c = offs_chunk
-            for k in range(chunk):
-                dy, dx, okk = dy_c[k], dx_c[k], ok_c[k]
-                win = jax.lax.dynamic_slice(windows, (0, dy, dx), (nblk, bs, bs))
-                sad = block_cost(blocks, win, (1, 2), cost)  # cv::norm (:315)
-                ty = cy_safe + (dy - ext)
+        side = 2 * ext + 1
+        ranks = jnp.asarray(spiral_rank(shift).reshape(-1))  # (side*side,)
+        blocks_t = blocks.transpose(1, 2, 0)    # (bs, bs, nblk)
+        windows_t = windows.transpose(1, 2, 0)  # (win, win, nblk)
+
+        def step(carry, dy):
+            best_sad, best_rank, best_dy, best_dx = carry
+            strip = jax.lax.dynamic_slice(
+                windows_t, (dy, 0, 0), (bs, windows_t.shape[1], nblk)
+            )
+            ty = cy_safe + (dy - ext)
+            ok_y = (ty >= 0) & (ty <= h - bs)
+            for dx in range(side):
+                win = strip[:, dx : dx + bs, :]
+                sad = block_cost(blocks_t, win, (0, 1), cost)  # cv::norm (:315)
                 tx = cx_safe + (dx - ext)
-                ok = (
-                    okk & (ty >= 0) & (ty <= h - bs) & (tx >= 0) & (tx <= w - bs)
-                )
+                ok = ok_y & (tx >= 0) & (tx <= w - bs)
                 sad = jnp.where(ok, sad, _I32_MAX)
-                better = sad < best_sad  # strict <: first visit wins ties
+                rank = ranks[dy * side + dx]
+                better = (sad < best_sad) | ((sad == best_sad) & (rank < best_rank))
                 best_sad = jnp.where(better, sad, best_sad)
+                best_rank = jnp.where(better, rank, best_rank)
                 best_dy = jnp.where(better, dy, best_dy)
                 best_dx = jnp.where(better, dx, best_dx)
-            return (best_sad, best_dy, best_dx), None
+            return (best_sad, best_rank, best_dy, best_dx), None
 
         init = (
+            jnp.full((nblk,), _I32_MAX, dtype=jnp.int32),
             jnp.full((nblk,), _I32_MAX, dtype=jnp.int32),
             jnp.full((nblk,), ext, dtype=jnp.int32),  # center offset (rank 0)
             jnp.full((nblk,), ext, dtype=jnp.int32),
         )
-        offs = (
-            jnp.asarray(dys_p.reshape(-1, chunk)),
-            jnp.asarray(dxs_p.reshape(-1, chunk)),
-            jnp.asarray(valid_off.reshape(-1, chunk)),
+        (_, _, best_dy, best_dx), _ = jax.lax.scan(
+            step, init, jnp.arange(side, dtype=jnp.int32)
         )
-        (_, best_dy, best_dx), _ = jax.lax.scan(step, init, offs)
     else:
         raise ValueError(f"unknown search impl: {impl}")
 

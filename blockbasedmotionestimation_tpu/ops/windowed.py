@@ -57,33 +57,39 @@ def _compute_cv(
 ) -> jnp.ndarray:
     """(side^2, nby, nbx) cost volume over deltas in [-R, R]^2 at size cur."""
     npy, npx = patches1.shape[:2]
+    np_tot = npy * npx
     f = bs // cur
     side = 2 * r + 1
     dt = _cv_dtype(cur, cost)
 
-    # one scan step per delta ROW, columns unrolled inside: scan-iteration
-    # overhead (~100us/step on remote backends) amortizes over `side` slices
+    # lane-major layout: parent blocks on the 128-wide lane dim, one scan
+    # step per delta ROW with columns unrolled at static offsets
+    wside = windows.shape[3]
+    patches_t = patches1.reshape(np_tot, bs, bs).transpose(1, 2, 0)  # (bs, bs, nP)
+    windows_t = windows.reshape(np_tot, wside, wside).transpose(1, 2, 0)
+
     def step(_, dy):
         strip = jax.lax.dynamic_slice(
-            windows, (0, 0, ext + dy - r, 0), (npy, npx, bs, windows.shape[3])
+            windows_t, (ext + dy - r, 0, 0), (bs, wside, np_tot)
         )
         outs = []
         for dxi in range(side):
-            w = strip[:, :, :, ext + dxi - r : ext + dxi - r + bs]
-            d = patches1 - w
+            w = strip[:, ext + dxi - r : ext + dxi - r + bs, :]
+            d = patches_t - w
             if cost == "sad":
                 dmap = jnp.abs(d).astype(jnp.int32)
             else:
                 d32 = d.astype(jnp.int32)
                 dmap = d32 * d32
-            cvr = dmap.reshape(npy, npx, f, cur, f, cur).sum(axis=(3, 5))
-            outs.append(
-                cvr.transpose(0, 2, 1, 3).reshape(npy * f, npx * f).astype(dt)
-            )
-        return None, jnp.stack(outs)  # (side, nby, nbx)
+            cvr = dmap.reshape(f, cur, f, cur, np_tot).sum(axis=(1, 3))
+            outs.append(cvr.astype(dt))
+        return None, jnp.stack(outs)  # (side, f, f, nP)
 
     _, cv = jax.lax.scan(step, None, jnp.arange(side, dtype=jnp.int32))
-    return cv.reshape(side * side, npy * f, npx * f)  # (side^2, nby, nbx)
+    # (side^2, f(sub-row), f(sub-col), npy, npx) -> (side^2, nby, nbx)
+    cv = cv.reshape(side * side, f, f, npy, npx)
+    cv = cv.transpose(0, 3, 1, 4, 2).reshape(side * side, npy * f, npx * f)
+    return cv
 
 
 def _select_costs(
