@@ -66,3 +66,12 @@ def test_evaluate_and_colorize_and_legend(tmp_path, rng, capsys):
     legend = tmp_path / "l.png"
     assert cli.main(["legend", str(legend), "--range", "5"]) == 0
     assert legend.exists()
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as g
+    import jax
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (96, 128, 2)
