@@ -105,9 +105,13 @@ def _raster_search_level(
     cy = (oy + cv).reshape(nblk)  # unclamped predicted centers (global)
     cx = (ox + cu).reshape(nblk)
 
-    blocks = extract_blocks(im1, bs).astype(jnp.int16)
+    blocks_t = extract_blocks(im1, bs).astype(jnp.int16).transpose(1, 2, 0)
     by = jnp.clip(cy - im2_row0, 0, im2.shape[0] - bs)
-    windows = _gather_windows(im2, by, jnp.clip(cx, 0, w - bs), bs, sp).astype(jnp.int16)
+    windows_t = (
+        _gather_windows(im2, by, jnp.clip(cx, 0, w - bs), bs, sp)
+        .astype(jnp.int16)
+        .transpose(1, 2, 0)  # (win, win, nblk): blocks on lanes
+    )
     cyc = by + im2_row0  # global row of each window's center
     cxc = jnp.clip(cx, 0, w - bs)
 
@@ -116,42 +120,37 @@ def _raster_search_level(
 
     side = 2 * sp + 1
 
-    def step(carry, dy):
-        # one scan step per window ROW; columns unrolled (raster order kept)
+    def step(carry, off):
         best_sad, best_l1, best_y, best_x = carry
-        strip = jax.lax.dynamic_slice(
-            windows, (0, dy, 0), (nblk, bs, windows.shape[2])
-        )
+        dy, dx = off
+        win = jax.lax.dynamic_slice(windows_t, (dy, dx, 0), (bs, bs, nblk))
+        sad = block_cost(blocks_t, win, (0, 1), cost)
         py = cyc + (dy - sp)
-        ok_y = (py >= jnp.maximum(0, cy - sp)) & (py <= jnp.minimum(h - bs, cy + sp))
-        for dx in range(side):
-            win = strip[:, :, dx : dx + bs]
-            sad = block_cost(blocks, win, (1, 2), cost)
-            px = cxc + (dx - sp)
-            ok = (
-                ok_y
-                & (px >= jnp.maximum(0, cx - sp))
-                & (px <= jnp.minimum(w - bs, cx + sp))
-            )
-            sad = jnp.where(ok, sad, _I32_MAX)
-            l1 = jnp.abs(ox1 - px) + jnp.abs(oy1 - py)  # dist to SOURCE (:276)
-            l1 = jnp.where(ok, l1, _I32_MAX)
-            better = (sad < best_sad) | ((sad == best_sad) & (l1 < best_l1))
-            best_sad = jnp.where(better, sad, best_sad)
-            best_l1 = jnp.where(better, l1, best_l1)
-            best_y = jnp.where(better, py, best_y)
-            best_x = jnp.where(better, px, best_x)
-        return (best_sad, best_l1, best_y, best_x), None
+        px = cxc + (dx - sp)
+        ok = (
+            (py >= jnp.maximum(0, cy - sp)) & (py <= jnp.minimum(h - bs, cy + sp))
+            & (px >= jnp.maximum(0, cx - sp)) & (px <= jnp.minimum(w - bs, cx + sp))
+        )
+        sad = jnp.where(ok, sad, _I32_MAX)
+        l1 = jnp.abs(ox1 - px) + jnp.abs(oy1 - py)  # dist to SOURCE (:276)
+        l1 = jnp.where(ok, l1, _I32_MAX)
+        better = (sad < best_sad) | ((sad == best_sad) & (l1 < best_l1))
+        return (
+            jnp.where(better, sad, best_sad),
+            jnp.where(better, l1, best_l1),
+            jnp.where(better, py, best_y),
+            jnp.where(better, px, best_x),
+        ), None
 
+    dys2 = jnp.repeat(jnp.arange(side, dtype=jnp.int32), side)
+    dxs2 = jnp.tile(jnp.arange(side, dtype=jnp.int32), side)
     init = (
         jnp.full((nblk,), _I32_MAX, dtype=jnp.int32),
         jnp.full((nblk,), _I32_MAX, dtype=jnp.int32),
         cy,  # empty window -> predicted position (:251-252)
         cx,
     )
-    (_, _, win_y, win_x), _ = jax.lax.scan(
-        step, init, jnp.arange(side, dtype=jnp.int32)
-    )
+    (_, _, win_y, win_x), _ = jax.lax.scan(step, init, (dys2, dxs2))
     u = (win_x - ox1).astype(jnp.float32).reshape(nby, nbx)
     v = (win_y - oy1).astype(jnp.float32).reshape(nby, nbx)
     return jnp.stack([u, v], axis=-1)
@@ -234,43 +233,32 @@ def block_search_level(
         # window row (dynamic major-dim slice), columns unrolled at static
         # offsets.  Raster visiting with a lexicographic (cost, spiral rank)
         # update is equivalent to the walk's first-visit-wins strict <.
-        from blockbasedmotionestimation_tpu.ops.spiral import spiral_rank
-
-        side = 2 * ext + 1
-        ranks = jnp.asarray(spiral_rank(shift).reshape(-1))  # (side*side,)
         blocks_t = blocks.transpose(1, 2, 0)    # (bs, bs, nblk)
         windows_t = windows.transpose(1, 2, 0)  # (win, win, nblk)
 
-        def step(carry, dy):
-            best_sad, best_rank, best_dy, best_dx = carry
-            strip = jax.lax.dynamic_slice(
-                windows_t, (dy, 0, 0), (bs, windows_t.shape[1], nblk)
-            )
+        def step(carry, off):
+            best_sad, best_dy, best_dx = carry
+            dy, dx = off
+            win = jax.lax.dynamic_slice(windows_t, (dy, dx, 0), (bs, bs, nblk))
+            sad = block_cost(blocks_t, win, (0, 1), cost)  # cv::norm (:315)
             ty = cy_safe + (dy - ext)
-            ok_y = (ty >= 0) & (ty <= h - bs)
-            for dx in range(side):
-                win = strip[:, dx : dx + bs, :]
-                sad = block_cost(blocks_t, win, (0, 1), cost)  # cv::norm (:315)
-                tx = cx_safe + (dx - ext)
-                ok = ok_y & (tx >= 0) & (tx <= w - bs)
-                sad = jnp.where(ok, sad, _I32_MAX)
-                rank = ranks[dy * side + dx]
-                better = (sad < best_sad) | ((sad == best_sad) & (rank < best_rank))
-                best_sad = jnp.where(better, sad, best_sad)
-                best_rank = jnp.where(better, rank, best_rank)
-                best_dy = jnp.where(better, dy, best_dy)
-                best_dx = jnp.where(better, dx, best_dx)
-            return (best_sad, best_rank, best_dy, best_dx), None
+            tx = cx_safe + (dx - ext)
+            ok = (ty >= 0) & (ty <= h - bs) & (tx >= 0) & (tx <= w - bs)
+            sad = jnp.where(ok, sad, _I32_MAX)
+            better = sad < best_sad  # strict <: first spiral visit wins ties
+            return (
+                jnp.where(better, sad, best_sad),
+                jnp.where(better, dy, best_dy),
+                jnp.where(better, dx, best_dx),
+            ), None
 
         init = (
-            jnp.full((nblk,), _I32_MAX, dtype=jnp.int32),
             jnp.full((nblk,), _I32_MAX, dtype=jnp.int32),
             jnp.full((nblk,), ext, dtype=jnp.int32),  # center offset (rank 0)
             jnp.full((nblk,), ext, dtype=jnp.int32),
         )
-        (_, _, best_dy, best_dx), _ = jax.lax.scan(
-            step, init, jnp.arange(side, dtype=jnp.int32)
-        )
+        offs = (jnp.asarray(dys + ext), jnp.asarray(dxs + ext))
+        (_, best_dy, best_dx), _ = jax.lax.scan(step, init, offs)
     else:
         raise ValueError(f"unknown search impl: {impl}")
 

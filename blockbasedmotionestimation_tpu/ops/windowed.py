@@ -68,25 +68,24 @@ def _compute_cv(
     patches_t = patches1.reshape(np_tot, bs, bs).transpose(1, 2, 0)  # (bs, bs, nP)
     windows_t = windows.reshape(np_tot, wside, wside).transpose(1, 2, 0)
 
-    def step(_, dy):
-        strip = jax.lax.dynamic_slice(
-            windows_t, (ext + dy - r, 0, 0), (bs, wside, np_tot)
+    def step(_, off):
+        dy, dx = off
+        w = jax.lax.dynamic_slice(
+            windows_t, (ext + dy - r, ext + dx - r, 0), (bs, bs, np_tot)
         )
-        outs = []
-        for dxi in range(side):
-            w = strip[:, ext + dxi - r : ext + dxi - r + bs, :]
-            d = patches_t - w
-            if cost == "sad":
-                dmap = jnp.abs(d).astype(jnp.int32)
-            else:
-                d32 = d.astype(jnp.int32)
-                dmap = d32 * d32
-            cvr = dmap.reshape(f, cur, f, cur, np_tot).sum(axis=(1, 3))
-            outs.append(cvr.astype(dt))
-        return None, jnp.stack(outs)  # (side, f, f, nP)
+        d = patches_t - w
+        if cost == "sad":
+            dmap = jnp.abs(d).astype(jnp.int32)
+        else:
+            d32 = d.astype(jnp.int32)
+            dmap = d32 * d32
+        cvr = dmap.reshape(f, cur, f, cur, np_tot).sum(axis=(1, 3))
+        return None, cvr.astype(dt)  # (f, f, nP)
 
-    _, cv = jax.lax.scan(step, None, jnp.arange(side, dtype=jnp.int32))
-    # (side^2, f(sub-row), f(sub-col), npy, npx) -> (side^2, nby, nbx)
+    dys = jnp.repeat(jnp.arange(side, dtype=jnp.int32), side)
+    dxs = jnp.tile(jnp.arange(side, dtype=jnp.int32), side)
+    _, cv = jax.lax.scan(step, None, (dys, dxs))
+    # (side^2, f(sub-row), f(sub-col), nP) -> (side^2, nby, nbx)
     cv = cv.reshape(side * side, f, f, npy, npx)
     cv = cv.transpose(0, 3, 1, 4, 2).reshape(side * side, npy * f, npx * f)
     return cv
