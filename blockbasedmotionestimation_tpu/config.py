@@ -14,7 +14,7 @@ from typing import Literal, Sequence
 
 CostKind = Literal["sad", "ssd"]
 RegularizerMode = Literal["exact", "fourcolor", "jacobi", "windowed"]
-SearchImpl = Literal["xla", "pallas", "pallas_interpret"]
+SearchImpl = Literal["auto", "xla", "pallas", "pallas_interpret"]
 SearchOrder = Literal["spiral", "raster"]
 
 
@@ -52,8 +52,9 @@ class MotionConfig:
       lambda_scale: initial lambda = block_size * lambda_scale
         (reference: block_size / 2, ``motion_framework.cpp:73``), doubled on
         each subdivision (``:151``).
-      search_impl: cost-volume backend - ``xla`` scan or the ``pallas`` VMEM
-        kernel (``pallas_interpret`` for CPU debugging).
+      search_impl: cost-volume backend - ``auto`` picks the ``pallas`` VMEM
+        kernels on TPU and the ``xla`` scan elsewhere; ``pallas_interpret``
+        runs the kernels interpreted for CPU debugging.
       reg_radius: max |candidate delta| from the parent search MV in
         ``windowed`` mode; None means the level's spiral extent S.
       search_order: ``spiral`` is the reference's live path
@@ -68,7 +69,7 @@ class MotionConfig:
     regularizer: RegularizerMode = "fourcolor"
     sweeps_per_round: int = 2
     lambda_scale: float = 0.5
-    search_impl: SearchImpl = "xla"
+    search_impl: SearchImpl = "auto"
     search_order: SearchOrder = "spiral"
     reg_radius: int | None = None
 

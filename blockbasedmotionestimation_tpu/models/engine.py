@@ -73,7 +73,7 @@ def _run_level(
     if cfg.regularizer == "windowed":
         return windowed_schedule(
             im1, im2, grid, bs, ss, lam0, cfg.sweeps_per_round,
-            cost=cfg.cost, reg_radius=cfg.reg_radius,
+            cost=cfg.cost, reg_radius=cfg.reg_radius, impl=cfg.search_impl,
         )
     return run_schedule(
         im1, im2, grid, bs, lam0,

@@ -36,6 +36,13 @@ from blockbasedmotionestimation_tpu.ops.spiral import spiral_offsets
 _I32_MAX = np.int32(np.iinfo(np.int32).max)
 
 
+def resolve_impl(impl: str) -> str:
+    """"auto" -> pallas kernels on TPU, XLA scan elsewhere."""
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return impl
+
+
 def block_cost(a: jnp.ndarray, b: jnp.ndarray, axis, cost: str) -> jnp.ndarray:
     """SAD (cv::norm NORM_L1, the reference cost) or SSD on int16 blocks."""
     d = a - b
@@ -187,6 +194,7 @@ def block_search_level(
     Returns:
       (nby, nbx, 2) float32 winning MVs (integer-valued).
     """
+    impl = resolve_impl(impl)
     if order == "raster":
         return _raster_search_level(
             im1, im2, pred, bs, ss, full_h=full_h, row0=row0, im2_row0=im2_row0,

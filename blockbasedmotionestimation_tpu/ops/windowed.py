@@ -35,6 +35,7 @@ import numpy as np
 
 from blockbasedmotionestimation_tpu.ops import regularize as reg
 from blockbasedmotionestimation_tpu.ops.search import _gather_windows
+from blockbasedmotionestimation_tpu.ops.search import resolve_impl as _resolve_impl
 from blockbasedmotionestimation_tpu.ops.spiral import spiral_extent
 
 _F32_MAX = np.float32(np.finfo(np.float32).max)
@@ -114,6 +115,50 @@ def _select_costs(
     return sad.transpose(1, 2, 0)  # (m, n, 9)
 
 
+def _all_round_cvs_pallas(
+    patches1: jnp.ndarray,  # (nPy, nPx, bs, bs) i16
+    windows: jnp.ndarray,   # (nPy, nPx, win, win) i16
+    bs: int,
+    ext: int,
+    r: int,
+    cost: str,
+    interpret: bool,
+) -> dict[int, jnp.ndarray]:
+    """All subdivision sizes' cost volumes from one Pallas diff pass.
+
+    Returns {cur: (side^2, f, f, nP)} via hierarchical 2x2 pooling of the
+    per-delta |diff| maps (u8 -> u16 -> i32 as sums grow).
+    """
+    from blockbasedmotionestimation_tpu.kernels.cv_diff import delta_diff_maps
+
+    npy, npx = patches1.shape[:2]
+    n_p = npy * npx
+    side = 2 * r + 1
+    wside = windows.shape[3]
+    patches_t = patches1.reshape(n_p, bs, bs).transpose(1, 2, 0)
+    windows_t = windows.reshape(n_p, wside, wside).transpose(1, 2, 0)
+    diffs = delta_diff_maps(
+        patches_t, windows_t, bs, ext, r, cost, interpret=interpret
+    )  # (side, side, bs, bs, nP) u8/u16
+    pool = diffs.reshape(side * side, bs, bs, n_p)
+    base_max = 255 if cost == "sad" else 255 * 255
+    cvs: dict[int, jnp.ndarray] = {}
+    cur, s = 1, bs
+    while cur < bs:
+        peak = base_max * (2 * cur) * (2 * cur)
+        dt = jnp.uint16 if peak < (1 << 16) else jnp.int32
+        pool = (
+            pool.reshape(side * side, s // 2, 2, s // 2, 2, n_p)
+            .astype(dt)
+            .sum(axis=(2, 4), dtype=dt)
+        )
+        cur <<= 1
+        s >>= 1
+        if cur >= 2:
+            cvs[cur] = pool  # (side^2, s, s, nP)
+    return cvs
+
+
 def windowed_schedule(
     im1: jnp.ndarray,
     im2: jnp.ndarray,
@@ -129,6 +174,7 @@ def windowed_schedule(
     row0: jnp.ndarray | int = 0,
     im2_row0: jnp.ndarray | int = 0,
     make_gp=None,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """The per-level regularization schedule on window-resident data.
 
@@ -166,13 +212,26 @@ def windowed_schedule(
         im1.reshape(npy, bs, npx, bs).transpose(0, 2, 1, 3).astype(jnp.int16)
     )
 
+    impl = _resolve_impl(impl)
+    if impl in ("pallas", "pallas_interpret"):
+        cvs_pallas = _all_round_cvs_pallas(
+            patches1, windows, bs, ext, r, cost,
+            interpret=(impl == "pallas_interpret"),
+        )
+    else:
+        cvs_pallas = None
+
     grid = grid0
     cur, lam = bs, lam0
     rank_table = jnp.asarray(reg._RANK_TABLE)
     while cur > 1:
         f = bs // cur
         nby, nbx = grid.shape[:2]
-        cv = _compute_cv(patches1, windows, bs, cur, ext, r, cost)  # (side^2, nby, nbx)
+        if cvs_pallas is not None:
+            cvq = cvs_pallas[cur].reshape(side * side, f, f, npy, npx)
+            cv = cvq.transpose(0, 3, 1, 4, 2).reshape(side * side, nby, nbx)
+        else:
+            cv = _compute_cv(patches1, windows, bs, cur, ext, r, cost)  # (side^2, nby, nbx)
         pm = jnp.repeat(jnp.repeat(parent_mv, f, axis=0), f, axis=1)  # (nby, nbx, 2)
 
         pad_r, pad_c = nby % 2, nbx % 2

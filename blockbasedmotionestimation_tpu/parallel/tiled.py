@@ -124,6 +124,7 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
                 im1_t, im2_buf, grid, bs, ss, lam0, cfg.sweeps_per_round,
                 cost=cfg.cost, reg_radius=cfg.reg_radius,
                 full_h=full_h, row0=row0, im2_row0=im2_row0, make_gp=make_gp,
+                impl=cfg.search_impl,
             )
         mode = cfg.regularizer if cfg.regularizer != "exact" else "fourcolor"
         return reg.run_schedule(

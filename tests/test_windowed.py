@@ -84,3 +84,16 @@ def test_windowed_tiled_equals_untiled(rng):
     want = np.asarray(engine.estimate_flow_padded(im1, im2, cfg))
     got = np.asarray(tiled.estimate_flow_padded_tiled(im1, im2, cfg, mesh))
     np.testing.assert_array_equal(got, want)
+
+
+def test_windowed_pallas_cv_matches_xla(rng):
+    # pallas_interpret CV path must be bit-identical to the XLA CV path
+    cfgx = MotionConfig(
+        block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
+        regularizer="windowed", search_impl="xla",
+    )
+    cfgp = cfgx.replace(search_impl="pallas_interpret")
+    im1, im2 = _pair(rng, 64, 64, dy=1, dx=-2)
+    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfgx))
+    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfgp))
+    np.testing.assert_array_equal(a, b)
