@@ -137,26 +137,41 @@ def _all_round_cvs_pallas(
     wside = windows.shape[3]
     patches_t = patches1.reshape(n_p, bs, bs).transpose(1, 2, 0)
     windows_t = windows.reshape(n_p, wside, wside).transpose(1, 2, 0)
-    diffs = delta_diff_maps(
-        patches_t, windows_t, bs, ext, r, cost, interpret=interpret
-    )  # (side, side, bs, bs, nP) u8/u16
-    pool = diffs.reshape(side * side, bs, bs, n_p)
     base_max = 255 if cost == "sad" else 255 * 255
-    cvs: dict[int, jnp.ndarray] = {}
-    cur, s = 1, bs
-    while cur < bs:
-        peak = base_max * (2 * cur) * (2 * cur)
-        dt = jnp.uint16 if peak < (1 << 16) else jnp.int32
-        pool = (
-            pool.reshape(side * side, s // 2, 2, s // 2, 2, n_p)
-            .astype(dt)
-            .sum(axis=(2, 4), dtype=dt)
-        )
-        cur <<= 1
-        s >>= 1
-        if cur >= 2:
-            cvs[cur] = pool  # (side^2, s, s, nP)
-    return cvs
+
+    # bound the transient diff tensor (side^2 * bs^2 * chunk bytes) to ~1 GB
+    # so 4K+ frames fit; chunks stay multiples of the kernel's lane block
+    elt = 1 if cost == "sad" else 2
+    max_chunk = max(128, int(1.0e9 / (side * side * bs * bs * elt)) // 128 * 128)
+    chunks = []
+    for p0 in range(0, n_p, max_chunk):
+        p1 = min(p0 + max_chunk, n_p)
+        diffs = delta_diff_maps(
+            patches_t[..., p0:p1], windows_t[..., p0:p1], bs, ext, r, cost,
+            interpret=interpret,
+        )  # (side, side, bs, bs, chunk)
+        pool = diffs.reshape(side * side, bs, bs, p1 - p0)
+        per_cur = {}
+        cur, s = 1, bs
+        while cur < bs:
+            peak = base_max * (2 * cur) * (2 * cur)
+            dt = jnp.uint16 if peak < (1 << 16) else jnp.int32
+            pool = (
+                pool.reshape(side * side, s // 2, 2, s // 2, 2, p1 - p0)
+                .astype(dt)
+                .sum(axis=(2, 4), dtype=dt)
+            )
+            cur <<= 1
+            s >>= 1
+            if cur >= 2:
+                per_cur[cur] = pool  # (side^2, s, s, chunk)
+        chunks.append(per_cur)
+    if len(chunks) == 1:
+        return chunks[0]
+    return {
+        cur: jnp.concatenate([c[cur] for c in chunks], axis=-1)
+        for cur in chunks[0]
+    }
 
 
 def windowed_schedule(
