@@ -27,15 +27,16 @@ def _kernel(patches_ref, windows_ref, out_ref, *, bs, ext, r, cost):
     # stays resident in VMEM across all side^2 deltas of a parent chunk
     dy = pl.program_id(1)
     side = 2 * r + 1
-    b = patches_ref[...].astype(jnp.int16)  # (bs, bs, CB)
-    strip = windows_ref[pl.ds(ext - r + dy, bs), :, :].astype(jnp.int16)
+    # int32 arithmetic: Mosaic cannot legalize abs on packed int16 vectors
+    b = patches_ref[...].astype(jnp.int32)  # (bs, bs, CB)
+    strip = windows_ref[pl.ds(ext - r + dy, bs), :, :].astype(jnp.int32)
     for dx in range(side):
         w = strip[:, ext - r + dx : ext - r + dx + bs, :]
         d = b - w
         if cost == "sad":
             out_ref[0, dx] = jnp.abs(d).astype(jnp.uint8)
         else:  # ssd: d^2 <= 65025 fits u16
-            out_ref[0, dx] = (d.astype(jnp.int32) * d).astype(jnp.uint16)
+            out_ref[0, dx] = (d * d).astype(jnp.uint16)
 
 
 @functools.partial(
