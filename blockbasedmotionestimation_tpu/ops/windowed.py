@@ -98,20 +98,33 @@ def _select_costs(
     ddx: jnp.ndarray,       # (m, n, 9) candidate delta cols
     r: int,
 ) -> jnp.ndarray:
-    """(m, n, 9) f32 costs via two staged 1-hot masked reductions (no gathers)."""
+    """(m, n, 9) f32 costs via 1-hot masked reductions (no gathers).
+
+    A scan over delta ROWS with an unrolled column pick inside keeps the
+    working set at one (9, m, n) accumulator (a wide two-stage formulation
+    materialized (9, side, m, n) intermediates ~30x per step and was
+    memory-bound on TPU).
+    """
     side = 2 * r + 1
     m, n = cv_slab.shape[1:]
-    cvr = cv_slab.reshape(side, side, m, n).astype(jnp.float32)
     dy_key = jnp.clip(ddy + r, 0, side - 1).transpose(2, 0, 1)  # (9, m, n)
     dx_key = jnp.clip(ddx + r, 0, side - 1).transpose(2, 0, 1)
-    # stage 1: select delta ROW per slot -> (9, side_x, m, n)
-    a = jnp.zeros((9, side, m, n), dtype=jnp.float32)
-    for dyi in range(side):
-        a = a + jnp.where((dy_key == dyi)[:, None], cvr[dyi][None], 0.0)
-    # stage 2: select delta COL per slot -> (9, m, n)
-    sad = jnp.zeros((9, m, n), dtype=jnp.float32)
-    for dxi in range(side):
-        sad = sad + jnp.where(dx_key == dxi, a[:, dxi], 0.0)
+
+    def step(acc, dyi):
+        rows = jax.lax.dynamic_slice(
+            cv_slab, (dyi * side, 0, 0), (side, m, n)
+        ).astype(jnp.float32)
+        inner = jnp.zeros((9, m, n), dtype=jnp.float32)
+        for dxi in range(side):
+            inner = inner + jnp.where(dx_key == dxi, rows[dxi][None], 0.0)
+        acc = acc + jnp.where(dy_key == dyi, inner, 0.0)
+        return acc, None
+
+    sad, _ = jax.lax.scan(
+        step,
+        jnp.zeros((9, m, n), dtype=jnp.float32),
+        jnp.arange(side, dtype=jnp.int32),
+    )
     return sad.transpose(1, 2, 0)  # (m, n, 9)
 
 
