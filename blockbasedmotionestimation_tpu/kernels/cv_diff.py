@@ -39,6 +39,122 @@ def _kernel(patches_ref, windows_ref, out_ref, *, bs, ext, r, cost):
             out_ref[0, dx] = (d * d).astype(jnp.uint16)
 
 
+def cv_dtype(cur: int, cost: str):
+    """Smallest unsigned/int dtype holding a worst-case cost at block size cur."""
+    peak = (255 * 255 if cost == "ssd" else 255) * cur * cur
+    return jnp.uint16 if peak < (1 << 16) else jnp.int32
+
+
+def _pooled_kernel(patches_ref, wslab_ref, *out_refs, bs, ext, r, cost):
+    """Per-delta diff maps pooled to every subdivision size in one pass.
+
+    Writes out_refs[k] = the (s_k, s_k, CB) cost maps at sub-block size
+    cur = 2, 4, ..., bs (ascending k), without ever materializing the raw
+    (bs, bs) diff maps in HBM.
+
+    wslab_ref cols are pre-cropped so delta column dx reads cols
+    [dx, dx+bs); the dx loop runs as a fori_loop over 8-aligned groups
+    (Mosaic: dynamic sublane starts must be multiples of 8) with a static
+    8-wide unroll inside, so loop-body stack is reused instead of
+    allocating ~side copies of the diff intermediates.
+    """
+    dy = pl.program_id(1)
+    side = 2 * r + 1
+    b = patches_ref[...].astype(jnp.int32)  # (bs, bs, CB)
+    cb = b.shape[-1]
+
+    def body(g, _):
+        wide = wslab_ref[pl.ds(ext - r + dy, bs), pl.ds(8 * g, bs + 8), :]
+        for dxr in range(8):
+            dx = 8 * g + dxr
+            w = wide[:, dxr : dxr + bs, :].astype(jnp.int32)
+            pool = jnp.abs(b - w) if cost == "sad" else (b - w) * (b - w)
+            s, cur, k = bs, 1, 0
+
+            @pl.when(dx < side)
+            def _():
+                nonlocal pool, s, cur, k
+                while cur < bs:
+                    # 2x2 pooling on the two leading (non-lane) axes
+                    pool = pool.reshape(s // 2, 2, s // 2, 2, cb).sum(axis=(1, 3))
+                    s >>= 1
+                    cur <<= 1
+                    if cur >= 2:
+                        out_refs[k][0, dx] = pool.astype(out_refs[k].dtype)
+                        k += 1
+        return 0
+
+    jax.lax.fori_loop(0, (side + 7) // 8, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bs", "ext", "r", "cost", "block_chunk", "interpret")
+)
+def delta_pooled_cvs(
+    patches_t: jnp.ndarray,  # (bs, bs, nP) i16 frame-1 parent blocks
+    windows_t: jnp.ndarray,  # (win, win, nP) i16 frame-2 windows
+    bs: int,
+    ext: int,
+    r: int,
+    cost: str = "sad",
+    block_chunk: int = 128,
+    interpret: bool = False,
+) -> dict[int, jnp.ndarray]:
+    """{cur: (side, side, s, s, nP)} pooled cost volumes, s = bs // cur."""
+    n_p = patches_t.shape[-1]
+    side = 2 * r + 1
+    win = windows_t.shape[0]
+    cb = min(block_chunk, n_p)
+    npad = -n_p % cb
+    if npad:
+        patches_t = jnp.pad(patches_t, ((0, 0), (0, 0), (0, npad)))
+        windows_t = jnp.pad(windows_t, ((0, 0), (0, 0), (0, npad)))
+    n = n_p + npad
+
+    # crop cols so the kernel's delta column dx starts at col dx, padded out
+    # to the 8-aligned group loads' reach (8*ngroups + bs)
+    ngroups = (side + 7) // 8
+    cols = 8 * ngroups + bs
+    wslab = windows_t[:, ext - r :, :]
+    pad_c = cols - wslab.shape[1]
+    if pad_c > 0:
+        wslab = jnp.pad(wslab, ((0, 0), (0, pad_c), (0, 0)))
+    else:
+        wslab = wslab[:, :cols, :]
+
+    curs = []
+    cur = 2
+    while cur <= bs:
+        curs.append(cur)
+        cur <<= 1
+    out_shapes = [
+        jax.ShapeDtypeStruct((side, side, bs // c, bs // c, n), cv_dtype(c, cost))
+        for c in curs
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, side, bs // c, bs // c, cb),
+            lambda i, j: (j, 0, 0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        for c in curs
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_pooled_kernel, bs=bs, ext=ext, r=r, cost=cost),
+        grid=(n // cb, side),
+        in_specs=[
+            pl.BlockSpec((bs, bs, cb), lambda i, j: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, cols, cb), lambda i, j: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(patches_t, wslab)
+    return {c: o[..., :n_p] for c, o in zip(curs, outs)}
+
+
 @functools.partial(
     jax.jit, static_argnames=("bs", "ext", "r", "cost", "block_chunk", "interpret")
 )

@@ -1,0 +1,361 @@
+"""Fused Pallas kernel for one windowed-regularizer color step.
+
+One color step of the windowed schedule (``ops.windowed``) evaluates, for
+every block of one four-color slab, the 9 candidate MVs of the reference's
+8-connected sweep (``motion_framework.cpp:424-530``): candidate cost looked
+up in the per-round cost volume, L1 smoothness over present candidates,
+energy = cost + lambda*mult*smoothness (``:607``), winner = lexicographic
+(energy, case-rank) minimum (``:646-662``).
+
+The XLA formulation spends most of its time materializing color slabs of the
+cost volume and running a scan of one-hot masked reductions.  This kernel
+fuses the whole step: the color's CV plane is selected by a prefetched
+scalar in the index_map (no slab materialization), and the candidate-cost
+pick, smoothness, energy, and winner all happen on VMEM-resident tiles.
+
+Cost pick = one-hot select over the side^2 delta axis, as a fori_loop over
+delta rows with the delta columns unrolled (Mosaic reuses the loop-body
+stack; dynamic loads from refs index only non-lane dims).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32_MAX = np.float32(np.finfo(np.float32).max)
+_BIG_RANK = np.int32(127)
+
+
+def _kernel(
+    sc_ref,        # (4,) i32 prefetch: [color, ci, cj, row0_b]
+    lam_ref,       # (1, 1) f32 SMEM: lambda * lambda_multiplier
+    cv_ref,        # (1, side^2, mt, nt) u16/i32: this color's CV tile
+    cands_ref,     # (9, 2, mt, nt) i32 candidate MVs (x, y)
+    pm_ref,        # (1, 2, mt, nt) i32 parent search MVs
+    present_ref,   # (1, 9, mt, nt) i32 0/1
+    rank_ref,      # (1, 9, mt, nt) i32 case ranks
+    out_ref,       # (2, mt, nt) i32 winner MVs
+    *,
+    side: int,
+    r: int,
+    cur: int,
+    full_h: int,
+    full_w: int,
+):
+    mt, nt = out_ref.shape[1], out_ref.shape[2]
+    ci = sc_ref[1]
+    cj = sc_ref[2]
+    row0_b = sc_ref[3]
+    i0 = pl.program_id(0) * mt
+    j0 = pl.program_id(1) * nt
+
+    cands = cands_ref[...].astype(jnp.int32)   # (9, 2, mt, nt)
+    cx, cy = cands[:, 0], cands[:, 1]          # (9, mt, nt)
+    pm = pm_ref[0]                             # (2, mt, nt)
+    present = present_ref[0]                   # (9, mt, nt) i32
+    rank = rank_ref[0]
+    lam = lam_ref[0, 0]
+
+    # candidate deltas from the parent search MV; flat key into the CV
+    ddx = cx - pm[0][None]
+    ddy = cy - pm[1][None]
+    in_window = (
+        (ddx >= -r) & (ddx <= r) & (ddy >= -r) & (ddy <= r)
+    )
+    key = jnp.where(in_window, (ddy + r) * side + (ddx + r), -1)  # (9, mt, nt)
+
+    # one-hot cost pick over the side^2 delta axis
+    def pick_row(dy, acc):
+        strip = cv_ref[0, pl.ds(dy * side, side)]  # (side, mt, nt)
+        for dx in range(side):
+            v = strip[dx].astype(jnp.int32)        # (mt, nt)
+            acc = jnp.where(key == dy * side + dx, v[None], acc)
+        return acc
+
+    costs = jax.lax.fori_loop(
+        0, side, pick_row, jnp.zeros((9, mt, nt), jnp.int32)
+    )
+
+    # smoothness: sum over present candidates of |c_i - c_j|_1 (:623-644)
+    smooth = jnp.zeros((9, mt, nt), jnp.int32)
+    for j in range(9):
+        d = jnp.abs(cx - cx[j][None]) + jnp.abs(cy - cy[j][None])
+        smooth = smooth + jnp.where(present[j][None] != 0, d, 0)
+
+    # global in-image bounds of the candidate target block (:578-582)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (mt, nt), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (mt, nt), 1)
+    gi = row0_b + ci + 2 * (i0 + ii)
+    gj = cj + 2 * (j0 + jj)
+    tx = (gj * cur)[None] + cx
+    ty = (gi * cur)[None] + cy
+    in_img = (
+        (tx >= 0) & (tx <= full_w - cur) & (ty >= 0) & (ty <= full_h - cur)
+    )
+
+    valid = (present != 0) & in_window & in_img
+    energy = jnp.where(
+        valid,
+        costs.astype(jnp.float32) + lam * smooth.astype(jnp.float32),
+        _F32_MAX,
+    )
+
+    # lexicographic (energy, rank) argmin == first strict min in case order
+    e_min = energy[0]
+    for k in range(1, 9):
+        e_min = jnp.minimum(e_min, energy[k])
+    rank_sel = jnp.where(energy == e_min[None], rank, _BIG_RANK)
+    best_r = rank_sel[0]
+    win = jnp.zeros((mt, nt), jnp.int32)
+    for k in range(1, 9):
+        better = rank_sel[k] < best_r
+        best_r = jnp.where(better, rank_sel[k], best_r)
+        win = jnp.where(better, k, win)
+
+    new_x = cx[0]
+    new_y = cy[0]
+    for k in range(1, 9):
+        new_x = jnp.where(win == k, cx[k], new_x)
+        new_y = jnp.where(win == k, cy[k], new_y)
+    out_ref[0] = new_x
+    out_ref[1] = new_y
+
+
+def _kernel_pm(
+    sc_ref,        # (4,) i32 prefetch: [color, ci, cj, row0_b] (unused here)
+    lam_ref,       # (1, 1) f32 SMEM
+    cv_ref,        # (1, side^2, 1, s2, 128) u16/i32
+    cands_ref,     # (9, 2, 1, s2, 128) i32
+    pm_ref,        # (2, 128) i32 parent search MVs
+    present_ref,   # (1, 9, 1, s2, 128) i32
+    rank_ref,      # (1, 9, 1, s2, 128) i32
+    oy_ref,        # (1, 1, 1, 128) i32: cur * global block row of this cell row
+    ox_ref,        # (1, s2, 128) i32: cur * global block col per cell col
+    out_ref,       # (2, 1, s2, 128) i32
+    acc_ref,       # scratch (9, s2, 128) i32
+    *,
+    side: int,
+    r: int,
+    cur: int,
+    full_h: int,
+    full_w: int,
+):
+    s2, nt = out_ref.shape[2], out_ref.shape[3]
+    cands = cands_ref[:, :, 0]                 # (9, 2, s2, nt)
+    cx, cy = cands[:, 0], cands[:, 1]          # (9, s2, nt)
+    pm = pm_ref[...]                           # (2, nt)
+    present = present_ref[0, :, 0]             # (9, s2, nt)
+    rank = rank_ref[0, :, 0]
+    lam = lam_ref[0, 0]
+
+    ddx = cx - pm[0][None, None]
+    ddy = cy - pm[1][None, None]
+    in_window = (ddx >= -r) & (ddx <= r) & (ddy >= -r) & (ddy <= r)
+    key = jnp.where(in_window, (ddy + r) * side + (ddx + r), -1)
+
+    # one-hot cost pick, skipping delta rows no candidate in this tile uses
+    # (on smooth flow most rows are inactive - large win over a full sweep)
+    acc_ref[...] = jnp.zeros((9, s2, nt), jnp.int32)
+
+    def pick_row(dy, _):
+        active = jnp.any((ddy == dy - r) & in_window)
+
+        @pl.when(active)
+        def _():
+            strip = cv_ref[0, pl.ds(dy * side, side), 0]  # (side, s2, nt)
+            a = acc_ref[...]
+            for dx in range(side):
+                v = strip[dx].astype(jnp.int32)
+                a = jnp.where(key == dy * side + dx, v[None], a)
+            acc_ref[...] = a
+
+        return 0
+
+    jax.lax.fori_loop(0, side, pick_row, 0)
+    costs = acc_ref[...]
+
+    smooth = jnp.zeros((9, s2, nt), jnp.int32)
+    for j in range(9):
+        d = jnp.abs(cx - cx[j][None]) + jnp.abs(cy - cy[j][None])
+        smooth = smooth + jnp.where(present[j][None] != 0, d, 0)
+
+    tx = ox_ref[0][None] + cx                  # (9, s2, nt)
+    ty = oy_ref[0, 0, 0][None, None] + cy
+    in_img = (
+        (tx >= 0) & (tx <= full_w - cur) & (ty >= 0) & (ty <= full_h - cur)
+    )
+
+    valid = (present != 0) & in_window & in_img
+    energy = jnp.where(
+        valid,
+        costs.astype(jnp.float32) + lam * smooth.astype(jnp.float32),
+        _F32_MAX,
+    )
+
+    e_min = energy[0]
+    for k in range(1, 9):
+        e_min = jnp.minimum(e_min, energy[k])
+    rank_sel = jnp.where(energy == e_min[None], rank, _BIG_RANK)
+    best_r = rank_sel[0]
+    win = jnp.zeros((s2, nt), jnp.int32)
+    for k in range(1, 9):
+        better = rank_sel[k] < best_r
+        best_r = jnp.where(better, rank_sel[k], best_r)
+        win = jnp.where(better, k, win)
+
+    new_x = cx[0]
+    new_y = cy[0]
+    for k in range(1, 9):
+        new_x = jnp.where(win == k, cx[k], new_x)
+        new_y = jnp.where(win == k, cy[k], new_y)
+    out_ref[0, 0] = new_x
+    out_ref[1, 0] = new_y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("side", "r", "cur", "full_h", "full_w", "interpret"),
+)
+def windowed_color_step_pm(
+    scalars: jnp.ndarray,         # (4,) i32 [color, ci, cj, row0_b]
+    lam_mult: jnp.ndarray,        # f32 scalar
+    cv_pm: jnp.ndarray,           # (4, side^2, s2, s2, nPp) u16/i32
+    cands_pm: jnp.ndarray,        # (9, 2, s2, s2, nPp) i32
+    pm_lane: jnp.ndarray,         # (2, nPp) i32
+    present_pm: jnp.ndarray,      # (4, 9, s2, s2, nPp) i32
+    rank_pm: jnp.ndarray,         # (4, 9, s2, s2, nPp) i32
+    oy_cell: jnp.ndarray,         # (4, s2, 1, nPp) i32
+    ox_cell: jnp.ndarray,         # (4, s2, nPp) i32
+    side: int,
+    r: int,
+    cur: int,
+    full_h: int,
+    full_w: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(2, s2, s2, nPp) i32 winner MVs, parent-major cell layout.
+
+    All big arrays stay in the pooled-CV kernel's native layout (cells of
+    one parent on the minor parent-lane axis); nothing larger than the
+    per-step candidate tensor is ever transposed.
+    """
+    s2, npp = cv_pm.shape[2], cv_pm.shape[4]
+    grid = (s2, npp // 128)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda j, i, sc: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, side * side, 1, s2, 128),
+                         lambda j, i, sc: (sc[0], 0, j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, 2, 1, s2, 128), lambda j, i, sc: (0, 0, j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda j, i, sc: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, 1, s2, 128),
+                         lambda j, i, sc: (sc[0], 0, j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, 1, s2, 128),
+                         lambda j, i, sc: (sc[0], 0, j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 128), lambda j, i, sc: (sc[0], j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s2, 128), lambda j, i, sc: (sc[0], 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, 1, s2, 128), lambda j, i, sc: (0, j, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((9, s2, 128), jnp.int32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_pm, side=side, r=r, cur=cur, full_h=full_h, full_w=full_w
+        ),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((2, s2, s2, npp), jnp.int32),
+        interpret=interpret,
+    )(scalars, jnp.reshape(lam_mult.astype(jnp.float32), (1, 1)), cv_pm,
+      cands_pm, pm_lane, present_pm, rank_pm, oy_cell, ox_cell)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "side", "r", "cur", "full_h", "full_w", "m_tile", "n_tile", "interpret"
+    ),
+)
+def windowed_color_step(
+    scalars: jnp.ndarray,         # (4,) i32 [color, ci, cj, row0_b]
+    lam_mult: jnp.ndarray,        # f32 scalar
+    cv_colors: jnp.ndarray,       # (4, side^2, M2, N2) u16/i32
+    cands: jnp.ndarray,           # (9, 2, M2, N2) i32
+    pm_colors: jnp.ndarray,       # (4, 2, M2, N2) i32
+    present_colors: jnp.ndarray,  # (4, 9, M2, N2) i32
+    rank_colors: jnp.ndarray,     # (4, 9, M2, N2) i32
+    side: int,
+    r: int,
+    cur: int,
+    full_h: int,
+    full_w: int,
+    m_tile: int = 8,
+    n_tile: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(2, M2, N2) i32 winner MVs for the scalars-selected color slab.
+
+    M2/N2 must be multiples of (m_tile, n_tile); padded blocks have
+    present == 0 everywhere and produce garbage winners the caller slices
+    off.
+    """
+    m2, n2 = cv_colors.shape[2:]
+    grid = (m2 // m_tile, n2 // n_tile)
+    lam_smem = jnp.reshape(lam_mult.astype(jnp.float32), (1, 1))
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j, sc: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, side * side, m_tile, n_tile),
+                lambda i, j, sc: (sc[0], 0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((9, 2, m_tile, n_tile), lambda i, j, sc: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, m_tile, n_tile),
+                         lambda i, j, sc: (sc[0], 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, m_tile, n_tile),
+                         lambda i, j, sc: (sc[0], 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, m_tile, n_tile),
+                         lambda i, j, sc: (sc[0], 0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, m_tile, n_tile), lambda i, j, sc: (0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, side=side, r=r, cur=cur, full_h=full_h, full_w=full_w
+        ),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((2, m2, n2), jnp.int32),
+        interpret=interpret,
+    )(scalars, lam_smem, cv_colors, cands, pm_colors, present_colors,
+      rank_colors)

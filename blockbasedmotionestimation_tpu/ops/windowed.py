@@ -137,12 +137,13 @@ def _all_round_cvs_pallas(
     cost: str,
     interpret: bool,
 ) -> dict[int, jnp.ndarray]:
-    """All subdivision sizes' cost volumes from one Pallas diff pass.
+    """All subdivision sizes' cost volumes from one Pallas pass.
 
-    Returns {cur: (side^2, f, f, nP)} via hierarchical 2x2 pooling of the
-    per-delta |diff| maps (u8 -> u16 -> i32 as sums grow).
+    Returns {cur: (side^2, f, f, nP)}.  The kernel pools the per-delta
+    |diff| maps to every sub-block size in VMEM and writes only the pooled
+    volumes - the raw (bs, bs) diff maps never touch HBM.
     """
-    from blockbasedmotionestimation_tpu.kernels.cv_diff import delta_diff_maps
+    from blockbasedmotionestimation_tpu.kernels.cv_diff import delta_pooled_cvs
 
     npy, npx = patches1.shape[:2]
     n_p = npy * npx
@@ -150,41 +151,270 @@ def _all_round_cvs_pallas(
     wside = windows.shape[3]
     patches_t = patches1.reshape(n_p, bs, bs).transpose(1, 2, 0)
     windows_t = windows.reshape(n_p, wside, wside).transpose(1, 2, 0)
-    base_max = 255 if cost == "sad" else 255 * 255
-
-    # bound the transient diff tensor (side^2 * bs^2 * chunk bytes) to ~1 GB
-    # so 4K+ frames fit; chunks stay multiples of the kernel's lane block
-    elt = 1 if cost == "sad" else 2
-    max_chunk = max(128, int(1.0e9 / (side * side * bs * bs * elt)) // 128 * 128)
-    chunks = []
-    for p0 in range(0, n_p, max_chunk):
-        p1 = min(p0 + max_chunk, n_p)
-        diffs = delta_diff_maps(
-            patches_t[..., p0:p1], windows_t[..., p0:p1], bs, ext, r, cost,
-            interpret=interpret,
-        )  # (side, side, bs, bs, chunk)
-        pool = diffs.reshape(side * side, bs, bs, p1 - p0)
-        per_cur = {}
-        cur, s = 1, bs
-        while cur < bs:
-            peak = base_max * (2 * cur) * (2 * cur)
-            dt = jnp.uint16 if peak < (1 << 16) else jnp.int32
-            pool = (
-                pool.reshape(side * side, s // 2, 2, s // 2, 2, p1 - p0)
-                .astype(dt)
-                .sum(axis=(2, 4), dtype=dt)
-            )
-            cur <<= 1
-            s >>= 1
-            if cur >= 2:
-                per_cur[cur] = pool  # (side^2, s, s, chunk)
-        chunks.append(per_cur)
-    if len(chunks) == 1:
-        return chunks[0]
+    pooled = delta_pooled_cvs(
+        patches_t, windows_t, bs, ext, r, cost, interpret=interpret
+    )
     return {
-        cur: jnp.concatenate([c[cur] for c in chunks], axis=-1)
-        for cur in chunks[0]
+        cur: v.reshape(side * side, bs // cur, bs // cur, n_p)
+        for cur, v in pooled.items()
     }
+
+
+_COLORS = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+def _pallas_round_pm(
+    grid: jnp.ndarray,        # (nby, nbx, 2) f32 MV grid, nby/nbx even
+    cvq: jnp.ndarray,         # (side^2, f, f, nP) pooled CV for this round
+    parent_mv: jnp.ndarray,   # (npy, npx, 2) i32 parent search MVs
+    *,
+    bs: int,
+    cur: int,
+    side: int,
+    r: int,
+    h: int,
+    w: int,
+    row0_b: jnp.ndarray,
+    lam: float,
+    sweeps_per_round: int,
+    make_gp,
+    interp: bool,
+) -> jnp.ndarray:
+    """Sub-divided rounds (f >= 2) in PARENT-MAJOR cell layout.
+
+    The cost volume never leaves the pooled kernel's native layout (cells of
+    a parent on sub-axes, parents on the minor lane axis); color planes are
+    cheap strided slices with the lane dim untouched.  Only the per-step
+    candidate tensor (a few MB) is transposed between the grid layout and
+    the cell layout.
+    """
+    from blockbasedmotionestimation_tpu.kernels.reg_step import (
+        windowed_color_step_pm,
+    )
+
+    f = bs // cur
+    s2 = f // 2
+    npy, npx = parent_mv.shape[:2]
+    n_p = npy * npx
+    npp = -(-n_p // 128) * 128
+    nby, nbx = grid.shape[:2]
+    m2, n2 = nby // 2, nbx // 2
+    nby_total = h // cur
+
+    def padp(x, fill=0):
+        pads = [(0, 0)] * (x.ndim - 1) + [(0, npp - n_p)]
+        return jnp.pad(x, pads, constant_values=fill)
+
+    rank_table = jnp.asarray(reg._RANK_TABLE)
+    cvq = cvq.reshape(side * side, f, f, n_p)
+    cv_pm, present_pm, rank_pm, oy_cell, ox_cell = [], [], [], [], []
+    syy = jnp.arange(s2, dtype=jnp.int32)
+    sxx = jnp.arange(s2, dtype=jnp.int32)
+    pyy = jnp.arange(npy, dtype=jnp.int32)
+    pxx = jnp.arange(npx, dtype=jnp.int32)
+    for ci_, cj_ in _COLORS:
+        cv_pm.append(padp(cvq[:, ci_::2, cj_::2]))
+        gi_sp = row0_b + 2 * syy[:, None] + ci_ + f * pyy[None, :]  # (s2, npy)
+        jj_sp = 2 * sxx[:, None] + cj_ + f * pxx[None, :]           # (s2, npx)
+        gi4 = gi_sp[:, None, :, None]
+        jj4 = jj_sp[None, :, None, :]
+        case = reg._border_case(gi4, jj4, nby_total, nbx)  # (s2, s2, npy, npx)
+        rank = jnp.moveaxis(rank_table[case], -1, 0)       # (9, s2, s2, npy, npx)
+        present = rank < reg._BIG_RANK
+        for k, (dy, dx) in enumerate(reg.SLOTS):
+            ok = (
+                (gi4 + dy >= 0) & (gi4 + dy < nby_total)
+                & (jj4 + dx >= 0) & (jj4 + dx < nbx)
+            )
+            present = present.at[k].set(present[k] & ok)
+        present_pm.append(padp(present.reshape(9, s2, s2, n_p).astype(jnp.int32)))
+        rank_pm.append(padp(rank.reshape(9, s2, s2, n_p)))
+        oy = jnp.broadcast_to(
+            (cur * gi_sp)[:, :, None], (s2, npy, npx)
+        ).reshape(s2, n_p)
+        ox = jnp.broadcast_to(
+            (cur * jj_sp)[:, None, :], (s2, npy, npx)
+        ).reshape(s2, n_p)
+        oy_cell.append(padp(oy[:, None]))  # (s2, 1, nP): singleton keeps the
+        # block's last-two dims (1, 128)-legal for Mosaic
+        ox_cell.append(padp(ox))
+    cv_pm = jnp.stack(cv_pm)
+    present_pm = jnp.stack(present_pm)
+    rank_pm = jnp.stack(rank_pm)
+    oy_cell = jnp.stack(oy_cell)
+    ox_cell = jnp.stack(ox_cell)
+    pm_lane = padp(parent_mv.transpose(2, 0, 1).reshape(2, n_p).astype(jnp.int32))
+
+    lam_steps, ci_steps, cj_steps = [], [], []
+    for sweep in range(sweeps_per_round):
+        for ci, cj in _COLORS:
+            lam_steps.append(lam * (sweep + 1))
+            ci_steps.append(ci)
+            cj_steps.append(cj)
+    xs = (
+        jnp.asarray(lam_steps, dtype=jnp.float32),
+        jnp.asarray(ci_steps, dtype=jnp.int32),
+        jnp.asarray(cj_steps, dtype=jnp.int32),
+    )
+
+    def body(g, x):
+        lam_mult, ci, cj = x
+        gp = make_gp(g)
+        cands = []
+        for dy, dx in reg.SLOTS:
+            sub = jax.lax.dynamic_slice(
+                gp, (ci + dy + 1, cj + dx + 1, 0), (nby, nbx, 2)
+            )
+            cands.append(sub[::2, ::2])
+        cands = jnp.stack(cands, axis=0).astype(jnp.int32)  # (9, m2, n2, 2)
+        # grid layout (slab row = py*s2 + syy) -> parent-major cell layout
+        cands = cands.reshape(9, npy, s2, npx, s2, 2)
+        cands = cands.transpose(0, 5, 2, 4, 1, 3).reshape(9, 2, s2, s2, n_p)
+        cands = padp(cands)
+        sc = jnp.stack(
+            [2 * ci + cj, ci, cj, jnp.asarray(row0_b, jnp.int32)]
+        ).astype(jnp.int32)
+        new_mv = windowed_color_step_pm(
+            sc, lam_mult, cv_pm, cands, pm_lane, present_pm, rank_pm,
+            oy_cell, ox_cell, side, r, cur, h, w, interpret=interp,
+        )
+        nm = new_mv[..., :n_p].reshape(2, s2, s2, npy, npx)
+        nm = nm.transpose(3, 1, 4, 2, 0).reshape(m2, n2, 2).astype(jnp.float32)
+        gr = g.reshape(m2, 2, n2, 2, 2)
+        gr = jax.lax.dynamic_update_slice(
+            gr, nm[:, None, :, None, :], (0, ci, 0, cj, 0)
+        )
+        return gr.reshape(nby, nbx, 2), None
+
+    grid, _ = jax.lax.scan(body, grid, xs)
+    return grid
+
+
+def _pallas_round(
+    grid: jnp.ndarray,        # (nby, nbx, 2) f32 MV grid at this round
+    cvq: jnp.ndarray,         # (side^2, f, f, nP) pooled CV for this round
+    parent_mv: jnp.ndarray,   # (npy, npx, 2) i32 parent search MVs
+    *,
+    bs: int,
+    cur: int,
+    side: int,
+    r: int,
+    h: int,
+    w: int,
+    row0_b: jnp.ndarray,      # global block-row offset in cur units
+    lam: float,
+    sweeps_per_round: int,
+    make_gp,
+    interp: bool,
+) -> jnp.ndarray:
+    """One subdivision round's sweep x color steps via the fused Pallas
+    color-step kernel (``kernels.reg_step``).
+
+    Per-color constants (CV color planes, parent MVs, presence masks, case
+    ranks) are computed ONCE per round; each scan step only gathers the
+    current candidate MVs and runs the kernel, which picks candidate costs
+    and the lexicographic winner on VMEM tiles.
+    """
+    from blockbasedmotionestimation_tpu.kernels.reg_step import (
+        windowed_color_step,
+    )
+
+    f = bs // cur
+    npy, npx = parent_mv.shape[:2]
+    nby, nbx = grid.shape[:2]
+    nby_total = h // cur
+
+    pad_r, pad_c = nby % 2, nbx % 2
+    if pad_r or pad_c:  # only possible at f == 1 (odd parent grid)
+        grid = jnp.pad(grid, ((0, pad_r), (0, pad_c), (0, 0)))
+    nby2, nbx2 = grid.shape[:2]
+    m2, n2 = nby2 // 2, nbx2 // 2
+    m2p = -(-m2 // 8) * 8
+    n2p = -(-n2 // 128) * 128
+
+    def pad2(x, fill=0):
+        pads = [(0, 0)] * (x.ndim - 2) + [(0, m2p - m2), (0, n2p - n2)]
+        return jnp.pad(x, pads, constant_values=fill)
+
+    rank_table = jnp.asarray(reg._RANK_TABLE)
+    cv_colors, pm_colors, present_colors, rank_colors = [], [], [], []
+    if f == 1:
+        cv_base = cvq.reshape(side * side, npy, npx)
+        cv_base = jnp.pad(cv_base, ((0, 0), (0, pad_r), (0, pad_c)))
+        pm_base = jnp.pad(parent_mv, ((0, pad_r), (0, pad_c), (0, 0)))
+    for ci_, cj_ in _COLORS:
+        if f >= 2:  # f even: global sub-row parity == within-parent parity
+            sl = cvq.reshape(side * side, f, f, npy, npx)[:, ci_::2, cj_::2]
+            cv_c = sl.transpose(0, 3, 1, 4, 2).reshape(side * side, m2, n2)
+            f2 = f // 2
+            pm_c = jnp.repeat(jnp.repeat(parent_mv, f2, axis=0), f2, axis=1)
+        else:
+            cv_c = cv_base[:, ci_::2, cj_::2]
+            pm_c = pm_base[ci_::2, cj_::2]
+        cv_colors.append(pad2(cv_c))
+        pm_colors.append(pad2(pm_c.transpose(2, 0, 1).astype(jnp.int32)))
+
+        kk = jnp.arange(m2, dtype=jnp.int32)[:, None]
+        mm = jnp.arange(n2, dtype=jnp.int32)[None, :]
+        gi = row0_b + ci_ + 2 * kk
+        jj = cj_ + 2 * mm
+        case = reg._border_case(gi, jj, nby_total, nbx2)
+        rank = rank_table[case]  # (m2, n2, 9)
+        present = rank < reg._BIG_RANK
+        for k, (dy, dx) in enumerate(reg.SLOTS):
+            ok = (
+                (gi + dy >= 0) & (gi + dy < nby_total)
+                & (jj + dx >= 0) & (jj + dx < nbx2)
+            )
+            present = present.at[..., k].set(present[..., k] & ok)
+        present_colors.append(pad2(present.transpose(2, 0, 1).astype(jnp.int32)))
+        rank_colors.append(pad2(rank.transpose(2, 0, 1)))
+    cv_colors = jnp.stack(cv_colors)
+    pm_colors = jnp.stack(pm_colors)
+    present_colors = jnp.stack(present_colors)
+    rank_colors = jnp.stack(rank_colors)
+
+    lam_steps, ci_steps, cj_steps = [], [], []
+    for sweep in range(sweeps_per_round):
+        for ci, cj in _COLORS:
+            lam_steps.append(lam * (sweep + 1))
+            ci_steps.append(ci)
+            cj_steps.append(cj)
+    xs = (
+        jnp.asarray(lam_steps, dtype=jnp.float32),
+        jnp.asarray(ci_steps, dtype=jnp.int32),
+        jnp.asarray(cj_steps, dtype=jnp.int32),
+    )
+
+    def body(g, x):
+        lam_mult, ci, cj = x
+        gp = make_gp(g)
+        cands = []
+        for dy, dx in reg.SLOTS:
+            sub = jax.lax.dynamic_slice(
+                gp, (ci + dy + 1, cj + dx + 1, 0), (nby2, nbx2, 2)
+            )
+            cands.append(sub[::2, ::2])
+        cands = jnp.stack(cands, axis=0).astype(jnp.int32)  # (9, m2, n2, 2)
+        cands = pad2(cands.transpose(0, 3, 1, 2))           # (9, 2, m2p, n2p)
+        sc = jnp.stack(
+            [2 * ci + cj, ci, cj, jnp.asarray(row0_b, jnp.int32)]
+        ).astype(jnp.int32)
+        new_mv = windowed_color_step(
+            sc, lam_mult, cv_colors, cands, pm_colors, present_colors,
+            rank_colors, side, r, cur, h, w, interpret=interp,
+        )
+        nm = new_mv[:, :m2, :n2].transpose(1, 2, 0).astype(jnp.float32)
+        gr = g.reshape(m2, 2, n2, 2, 2)
+        gr = jax.lax.dynamic_update_slice(
+            gr, nm[:, None, :, None, :], (0, ci, 0, cj, 0)
+        )
+        return gr.reshape(nby2, nbx2, 2), None
+
+    grid, _ = jax.lax.scan(body, grid, xs)
+    if pad_r or pad_c:
+        grid = grid[:nby, :nbx]
+    return grid
 
 
 def windowed_schedule(
@@ -256,10 +486,22 @@ def windowed_schedule(
         f = bs // cur
         nby, nbx = grid.shape[:2]
         if cvs_pallas is not None:
-            cvq = cvs_pallas[cur].reshape(side * side, f, f, npy, npx)
-            cv = cvq.transpose(0, 3, 1, 4, 2).reshape(side * side, nby, nbx)
-        else:
-            cv = _compute_cv(patches1, windows, bs, cur, ext, r, cost)  # (side^2, nby, nbx)
+            # fused Pallas color-step path: per-color constants hoisted out
+            # of the sweep scan, selection + energy + winner in one kernel;
+            # sub-divided rounds run in parent-major layout (no big transposes)
+            round_fn = _pallas_round_pm if f >= 2 else _pallas_round
+            grid = round_fn(
+                grid, cvs_pallas.pop(cur), parent_mv,
+                bs=bs, cur=cur, side=side, r=r, h=h, w=w,
+                row0_b=row0 // cur, lam=lam,
+                sweeps_per_round=sweeps_per_round, make_gp=make_gp,
+                interp=(impl == "pallas_interpret"),
+            )
+            grid = subdivide(grid)
+            cur >>= 1
+            lam *= 2.0
+            continue
+        cv = _compute_cv(patches1, windows, bs, cur, ext, r, cost)  # (side^2, nby, nbx)
         pm = jnp.repeat(jnp.repeat(parent_mv, f, axis=0), f, axis=1)  # (nby, nbx, 2)
 
         pad_r, pad_c = nby % 2, nbx % 2
