@@ -80,7 +80,17 @@ def _pooled_kernel(patches_ref, wslab_ref, *out_refs, bs, ext, r, cost):
                     s >>= 1
                     cur <<= 1
                     if cur >= 2:
-                        out_refs[k][0, dx] = pool.astype(out_refs[k].dtype)
+                        dt = out_refs[k].dtype
+                        if cur <= bs // 2:
+                            # X-parity de-interleaved layout: the color-step
+                            # kernel picks a color plane purely via its
+                            # index_map (row 2j+ci, plane cj) - no XLA-side
+                            # color slicing of the CV at all
+                            ps = pool.reshape(s, s // 2, 2, cb)
+                            for bx in range(2):
+                                out_refs[k][0, dx, :, bx] = ps[:, :, bx].astype(dt)
+                        else:  # cur == bs: f == 1, legacy unsplit layout
+                            out_refs[k][0, dx] = pool.astype(dt)
                         k += 1
         return 0
 
@@ -100,11 +110,17 @@ def delta_pooled_cvs(
     block_chunk: int = 128,
     interpret: bool = False,
 ) -> dict[int, jnp.ndarray]:
-    """{cur: (side, side, s, s, nP)} pooled cost volumes, s = bs // cur."""
+    """Pooled cost volumes per sub-block size, s = bs // cur.
+
+    cur <= bs/2: (side, side, s, 2, s//2, nPad) with the X parity
+    de-interleaved so a color plane is pure index arithmetic downstream;
+    cur == bs: (side, side, 1, 1, nPad) unsplit.  nPad = nP rounded up to
+    the lane-chunk multiple.
+    """
     n_p = patches_t.shape[-1]
     side = 2 * r + 1
     win = windows_t.shape[0]
-    cb = min(block_chunk, n_p)
+    cb = block_chunk  # always full lane chunks: consumers tile lanes by 128
     npad = -n_p % cb
     if npad:
         patches_t = jnp.pad(patches_t, ((0, 0), (0, 0), (0, npad)))
@@ -127,18 +143,33 @@ def delta_pooled_cvs(
     while cur <= bs:
         curs.append(cur)
         cur <<= 1
-    out_shapes = [
-        jax.ShapeDtypeStruct((side, side, bs // c, bs // c, n), cv_dtype(c, cost))
-        for c in curs
-    ]
-    out_specs = [
-        pl.BlockSpec(
-            (1, side, bs // c, bs // c, cb),
-            lambda i, j: (j, 0, 0, 0, i),
-            memory_space=pltpu.VMEM,
-        )
-        for c in curs
-    ]
+    out_shapes, out_specs = [], []
+    for c in curs:
+        s = bs // c
+        if c <= bs // 2:  # X-parity de-interleaved (see kernel)
+            out_shapes.append(
+                jax.ShapeDtypeStruct(
+                    (side, side, s, 2, s // 2, n), cv_dtype(c, cost)
+                )
+            )
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, side, s, 2, s // 2, cb),
+                    lambda i, j: (j, 0, 0, 0, 0, i),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        else:  # cur == bs: unsplit legacy layout
+            out_shapes.append(
+                jax.ShapeDtypeStruct((side, side, s, s, n), cv_dtype(c, cost))
+            )
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, side, s, s, cb),
+                    lambda i, j: (j, 0, 0, 0, i),
+                    memory_space=pltpu.VMEM,
+                )
+            )
     outs = pl.pallas_call(
         functools.partial(_pooled_kernel, bs=bs, ext=ext, r=r, cost=cost),
         grid=(n // cb, side),
@@ -152,7 +183,9 @@ def delta_pooled_cvs(
         out_shape=out_shapes,
         interpret=interpret,
     )(patches_t, wslab)
-    return {c: o[..., :n_p] for c, o in zip(curs, outs)}
+    # lane axis stays PADDED to the chunk multiple - slicing it off here
+    # would copy the whole volume; consumers mask or slice as needed
+    return dict(zip(curs, outs))
 
 
 @functools.partial(

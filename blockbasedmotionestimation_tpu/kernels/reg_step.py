@@ -130,7 +130,7 @@ def _kernel(
 def _kernel_pm(
     sc_ref,        # (4,) i32 prefetch: [color, ci, cj, row0_b] (unused here)
     lam_ref,       # (1, 1) f32 SMEM
-    cv_ref,        # (1, side^2, 1, s2, 128) u16/i32
+    cv_ref,        # (side^2, 1, 1, s2, 128) u16/i32: this color's CV cells
     cands_ref,     # (9, 2, 1, s2, 128) i32
     pm_ref,        # (2, 128) i32 parent search MVs
     present_ref,   # (1, 9, 1, s2, 128) i32
@@ -159,25 +159,29 @@ def _kernel_pm(
     in_window = (ddx >= -r) & (ddx <= r) & (ddy >= -r) & (ddy <= r)
     key = jnp.where(in_window, (ddy + r) * side + (ddx + r), -1)
 
-    # one-hot cost pick, skipping delta rows no candidate in this tile uses
-    # (on smooth flow most rows are inactive - large win over a full sweep)
+    # one-hot cost pick over ONLY the delta bounding box the tile's valid
+    # candidates span: four reductions give the box, then dynamic-bound
+    # loops visit (ymax-ymin+1)*(xmax-xmin+1) deltas.  On smooth flow the
+    # box is a few cells (vs side^2 = the full window); the fully-random
+    # worst case matches the exhaustive sweep.
+    big = jnp.int32(1 << 20)
+    ymin = jnp.min(jnp.where(in_window, ddy, big))
+    ymax = jnp.max(jnp.where(in_window, ddy, -big))
+    xmin = jnp.min(jnp.where(in_window, ddx, big))
+    xmax = jnp.max(jnp.where(in_window, ddx, -big))
     acc_ref[...] = jnp.zeros((9, s2, nt), jnp.int32)
 
     def pick_row(dy, _):
-        active = jnp.any((ddy == dy - r) & in_window)
+        def pick_col(dx, __):
+            s = (dy + r) * side + (dx + r)
+            v = cv_ref[s, 0, 0].astype(jnp.int32)  # (s2, nt)
+            acc_ref[...] = jnp.where(key == s, v[None], acc_ref[...])
+            return 0
 
-        @pl.when(active)
-        def _():
-            strip = cv_ref[0, pl.ds(dy * side, side), 0]  # (side, s2, nt)
-            a = acc_ref[...]
-            for dx in range(side):
-                v = strip[dx].astype(jnp.int32)
-                a = jnp.where(key == dy * side + dx, v[None], a)
-            acc_ref[...] = a
-
+        jax.lax.fori_loop(xmin, xmax + 1, pick_col, 0)
         return 0
 
-    jax.lax.fori_loop(0, side, pick_row, 0)
+    jax.lax.fori_loop(ymin, ymax + 1, pick_row, 0)
     costs = acc_ref[...]
 
     smooth = jnp.zeros((9, s2, nt), jnp.int32)
@@ -225,7 +229,7 @@ def _kernel_pm(
 def windowed_color_step_pm(
     scalars: jnp.ndarray,         # (4,) i32 [color, ci, cj, row0_b]
     lam_mult: jnp.ndarray,        # f32 scalar
-    cv_pm: jnp.ndarray,           # (4, side^2, s2, s2, nPp) u16/i32
+    cv_pm: jnp.ndarray,           # (side^2, f, 2, s2, nPp) u16/i32
     cands_pm: jnp.ndarray,        # (9, 2, s2, s2, nPp) i32
     pm_lane: jnp.ndarray,         # (2, nPp) i32
     present_pm: jnp.ndarray,      # (4, 9, s2, s2, nPp) i32
@@ -242,11 +246,12 @@ def windowed_color_step_pm(
     """(2, s2, s2, nPp) i32 winner MVs, parent-major cell layout.
 
     All big arrays stay in the pooled-CV kernel's native layout (cells of
-    one parent on the minor parent-lane axis); nothing larger than the
-    per-step candidate tensor is ever transposed.
+    one parent on the minor parent-lane axis); the color's CV cells are
+    chosen entirely in the index_map (sy row = 2*j + ci, X plane = cj), so
+    no XLA-side color slicing of the CV exists at all.
     """
-    s2, npp = cv_pm.shape[2], cv_pm.shape[4]
-    grid = (s2, npp // 128)
+    s2, npp = cv_pm.shape[3], cv_pm.shape[4]
+    grid = (cv_pm.shape[1] // 2, npp // 128)
 
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -254,8 +259,8 @@ def windowed_color_step_pm(
         in_specs=[
             pl.BlockSpec((1, 1), lambda j, i, sc: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, side * side, 1, s2, 128),
-                         lambda j, i, sc: (sc[0], 0, j, 0, i),
+            pl.BlockSpec((side * side, 1, 1, s2, 128),
+                         lambda j, i, sc: (0, 2 * j + sc[1], sc[2], 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, 2, 1, s2, 128), lambda j, i, sc: (0, 0, j, 0, i),
                          memory_space=pltpu.VMEM),

@@ -139,25 +139,20 @@ def _all_round_cvs_pallas(
 ) -> dict[int, jnp.ndarray]:
     """All subdivision sizes' cost volumes from one Pallas pass.
 
-    Returns {cur: (side^2, f, f, nP)}.  The kernel pools the per-delta
-    |diff| maps to every sub-block size in VMEM and writes only the pooled
-    volumes - the raw (bs, bs) diff maps never touch HBM.
+    Returns ``delta_pooled_cvs``'s dict: cur <= bs/2 in the X-parity
+    de-interleaved (side, side, f, 2, f//2, nPad) layout consumed directly
+    by the color-step kernel's index_map; cur == bs unsplit.  The raw
+    (bs, bs) diff maps never touch HBM.
     """
     from blockbasedmotionestimation_tpu.kernels.cv_diff import delta_pooled_cvs
 
-    npy, npx = patches1.shape[:2]
-    n_p = npy * npx
-    side = 2 * r + 1
+    n_p = patches1.shape[0] * patches1.shape[1]
     wside = windows.shape[3]
     patches_t = patches1.reshape(n_p, bs, bs).transpose(1, 2, 0)
     windows_t = windows.reshape(n_p, wside, wside).transpose(1, 2, 0)
-    pooled = delta_pooled_cvs(
+    return delta_pooled_cvs(
         patches_t, windows_t, bs, ext, r, cost, interpret=interpret
     )
-    return {
-        cur: v.reshape(side * side, bs // cur, bs // cur, n_p)
-        for cur, v in pooled.items()
-    }
 
 
 _COLORS = ((0, 0), (0, 1), (1, 0), (1, 1))
@@ -165,7 +160,7 @@ _COLORS = ((0, 0), (0, 1), (1, 0), (1, 1))
 
 def _pallas_round_pm(
     grid: jnp.ndarray,        # (nby, nbx, 2) f32 MV grid, nby/nbx even
-    cvq: jnp.ndarray,         # (side^2, f, f, nP) pooled CV for this round
+    cvq: jnp.ndarray,         # (side, side, f, 2, f//2, nPad) pooled CV
     parent_mv: jnp.ndarray,   # (npy, npx, 2) i32 parent search MVs
     *,
     bs: int,
@@ -206,14 +201,13 @@ def _pallas_round_pm(
         return jnp.pad(x, pads, constant_values=fill)
 
     rank_table = jnp.asarray(reg._RANK_TABLE)
-    cvq = cvq.reshape(side * side, f, f, n_p)
-    cv_pm, present_pm, rank_pm, oy_cell, ox_cell = [], [], [], [], []
+    cv_in = cvq.reshape(side * side, f, 2, f // 2, npp)
+    present_pm, rank_pm, oy_cell, ox_cell = [], [], [], []
     syy = jnp.arange(s2, dtype=jnp.int32)
     sxx = jnp.arange(s2, dtype=jnp.int32)
     pyy = jnp.arange(npy, dtype=jnp.int32)
     pxx = jnp.arange(npx, dtype=jnp.int32)
     for ci_, cj_ in _COLORS:
-        cv_pm.append(padp(cvq[:, ci_::2, cj_::2]))
         gi_sp = row0_b + 2 * syy[:, None] + ci_ + f * pyy[None, :]  # (s2, npy)
         jj_sp = 2 * sxx[:, None] + cj_ + f * pxx[None, :]           # (s2, npx)
         gi4 = gi_sp[:, None, :, None]
@@ -238,7 +232,6 @@ def _pallas_round_pm(
         oy_cell.append(padp(oy[:, None]))  # (s2, 1, nP): singleton keeps the
         # block's last-two dims (1, 128)-legal for Mosaic
         ox_cell.append(padp(ox))
-    cv_pm = jnp.stack(cv_pm)
     present_pm = jnp.stack(present_pm)
     rank_pm = jnp.stack(rank_pm)
     oy_cell = jnp.stack(oy_cell)
@@ -257,37 +250,90 @@ def _pallas_round_pm(
         jnp.asarray(cj_steps, dtype=jnp.int32),
     )
 
-    def body(g, x):
+    # The whole round runs on a CELL-LAYOUT grid (2, f, f, nP): neighbor
+    # candidates become sub-index shifts plus minor-axis lane rolls at
+    # parent boundaries, so no step ever transposes a slab-layout tensor
+    # (XLA transposes whose minor dim changes run ~10x under copy speed
+    # and dominated this round at ~20 ms/step).  Out-of-frame wrap
+    # artifacts from the rolls are masked by the per-color presence masks,
+    # which use global coordinates.
+    gcell = (
+        grid.reshape(npy, f, npx, f, 2)
+        .transpose(4, 1, 3, 0, 2)
+        .reshape(2, f, f, n_p)
+        .astype(jnp.int32)
+    )
+
+    def shift_y(gc, t):
+        # rows sy_src = 2*syy + t of the f sy-cells, t in {-1, 0, 1, 2};
+        # crossing a parent boundary is a lane roll by +-npx
+        gr = gc.reshape(2, s2, 2, f, n_p)
+
+        def t_m1(_):
+            top = jnp.roll(gc[:, f - 1], npx, axis=-1)[:, None]
+            return jnp.concatenate([top, gr[:, : s2 - 1, 1]], axis=1)
+
+        def t_0(_):
+            return gr[:, :, 0]
+
+        def t_1(_):
+            return gr[:, :, 1]
+
+        def t_2(_):
+            bot = jnp.roll(gc[:, 0], -npx, axis=-1)[:, None]
+            return jnp.concatenate([gr[:, 1:, 0], bot], axis=1)
+
+        return jax.lax.switch(t + 1, [t_m1, t_0, t_1, t_2], None)
+
+    def shift_x(ys, u):
+        # cols sx_src = 2*sxx + u; parent crossing is a lane roll by +-1
+        gr = ys.reshape(2, s2, s2, 2, n_p)
+
+        def u_m1(_):
+            left = jnp.roll(ys[:, :, f - 1], 1, axis=-1)[:, :, None]
+            return jnp.concatenate([left, gr[:, :, : s2 - 1, 1]], axis=2)
+
+        def u_0(_):
+            return gr[:, :, :, 0]
+
+        def u_1(_):
+            return gr[:, :, :, 1]
+
+        def u_2(_):
+            right = jnp.roll(ys[:, :, 0], -1, axis=-1)[:, :, None]
+            return jnp.concatenate([gr[:, :, 1:, 0], right], axis=2)
+
+        return jax.lax.switch(u + 1, [u_m1, u_0, u_1, u_2], None)
+
+    def body(gc, x):
         lam_mult, ci, cj = x
-        gp = make_gp(g)
-        cands = []
-        for dy, dx in reg.SLOTS:
-            sub = jax.lax.dynamic_slice(
-                gp, (ci + dy + 1, cj + dx + 1, 0), (nby, nbx, 2)
-            )
-            cands.append(sub[::2, ::2])
-        cands = jnp.stack(cands, axis=0).astype(jnp.int32)  # (9, m2, n2, 2)
-        # grid layout (slab row = py*s2 + syy) -> parent-major cell layout
-        cands = cands.reshape(9, npy, s2, npx, s2, 2)
-        cands = cands.transpose(0, 5, 2, 4, 1, 3).reshape(9, 2, s2, s2, n_p)
+        ys_by_dy = {dy: shift_y(gc, ci + dy) for dy in (-1, 0, 1)}
+        cands = jnp.stack(
+            [shift_x(ys_by_dy[dy], cj + dx) for dy, dx in reg.SLOTS],
+            axis=0,
+        )  # (9, 2, s2, s2, nP)
         cands = padp(cands)
         sc = jnp.stack(
             [2 * ci + cj, ci, cj, jnp.asarray(row0_b, jnp.int32)]
         ).astype(jnp.int32)
         new_mv = windowed_color_step_pm(
-            sc, lam_mult, cv_pm, cands, pm_lane, present_pm, rank_pm,
+            sc, lam_mult, cv_in, cands, pm_lane, present_pm, rank_pm,
             oy_cell, ox_cell, side, r, cur, h, w, interpret=interp,
         )
-        nm = new_mv[..., :n_p].reshape(2, s2, s2, npy, npx)
-        nm = nm.transpose(3, 1, 4, 2, 0).reshape(m2, n2, 2).astype(jnp.float32)
-        gr = g.reshape(m2, 2, n2, 2, 2)
-        gr = jax.lax.dynamic_update_slice(
-            gr, nm[:, None, :, None, :], (0, ci, 0, cj, 0)
+        nm = new_mv[..., :n_p]  # (2, s2, s2, nP)
+        grc = gc.reshape(2, s2, 2, s2, 2, n_p)
+        grc = jax.lax.dynamic_update_slice(
+            grc, nm[:, :, None, :, None, :], (0, 0, ci, 0, cj, 0)
         )
-        return gr.reshape(nby, nbx, 2), None
+        return grc.reshape(2, f, f, n_p), None
 
-    grid, _ = jax.lax.scan(body, grid, xs)
-    return grid
+    gcell, _ = jax.lax.scan(body, gcell, xs)
+    return (
+        gcell.reshape(2, f, f, npy, npx)
+        .transpose(3, 1, 4, 2, 0)
+        .reshape(nby, nbx, 2)
+        .astype(jnp.float32)
+    )
 
 
 def _pallas_round(
@@ -339,7 +385,8 @@ def _pallas_round(
     rank_table = jnp.asarray(reg._RANK_TABLE)
     cv_colors, pm_colors, present_colors, rank_colors = [], [], [], []
     if f == 1:
-        cv_base = cvq.reshape(side * side, npy, npx)
+        cv_base = cvq.reshape(side * side, -1)[:, : npy * npx]
+        cv_base = cv_base.reshape(side * side, npy, npx)
         cv_base = jnp.pad(cv_base, ((0, 0), (0, pad_r), (0, pad_c)))
         pm_base = jnp.pad(parent_mv, ((0, pad_r), (0, pad_c), (0, 0)))
     for ci_, cj_ in _COLORS:
