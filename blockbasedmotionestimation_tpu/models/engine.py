@@ -136,3 +136,27 @@ def estimate_flow_driver(
     interp-factor upsample -> pad -> engine -> stride-f subsample, MV / f.
     Returns (H, W, 2) float32 flow at the original resolution."""
     return _driver_jit(im1, im2, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "p"))
+def _batched_jit(im1s, im2s, cfg: MotionConfig, p: pad_ops.Padding):
+    return jax.vmap(
+        lambda a, b: estimate_flow_padded(
+            pad_ops.pad_frame(a, p), pad_ops.pad_frame(b, p), cfg
+        )
+    )(im1s, im2s)
+
+
+def estimate_flow_batched(
+    im1s: jnp.ndarray, im2s: jnp.ndarray, cfg: MotionConfig
+) -> tuple[jnp.ndarray, pad_ops.Padding]:
+    """Single-device batched pipeline over (B, H, W) frame pairs.
+
+    One jitted program runs all B fields; on TPU this amortizes the
+    dispatch overhead and the small coarse-level ops across the batch
+    (the production throughput path - for multi-chip batch sharding see
+    ``parallel.tiled.estimate_flow_batch``).  Returns (B-padded flow,
+    padding).
+    """
+    p = pad_ops.compute_padding(im1s.shape[1], im1s.shape[2], cfg)
+    return _batched_jit(im1s, im2s, cfg, p), p

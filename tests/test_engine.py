@@ -227,3 +227,24 @@ def test_ssd_driver_recovers_translation(rng):
     flow = np.asarray(engine.estimate_flow_driver(im1, im2, cfg))
     assert np.median(flow[8:24, 8:24, 0]) == -3.0
     assert np.median(flow[8:24, 8:24, 1]) == -2.0
+
+
+def test_batched_matches_single(rng):
+    # estimate_flow_batched == per-pair estimate_flow, bit for bit
+    import jax.numpy as jnp
+
+    cfg = tiny_config(block_sizes=(8, 8), search_sizes=(16, 16),
+                      regularizer="windowed")
+    pairs = []
+    for k in range(3):
+        h, w = 64, 96
+        base = rng.integers(0, 256, size=(h + 8, w + 8), dtype=np.uint8)
+        pairs.append((base[:h, :w], base[k + 1 : k + 1 + h, 2 : 2 + w]))
+    im1s = jnp.asarray(np.stack([a for a, _ in pairs]))
+    im2s = jnp.asarray(np.stack([b for _, b in pairs]))
+    batched, pb = engine.estimate_flow_batched(im1s, im2s, cfg)
+    batched = np.asarray(batched)
+    for k, (a, b) in enumerate(pairs):
+        single, ps = engine.estimate_flow(jnp.asarray(a), jnp.asarray(b), cfg)
+        assert ps == pb
+        np.testing.assert_array_equal(batched[k], np.asarray(single))
