@@ -384,6 +384,14 @@ def _pallas_round(
 
     rank_table = jnp.asarray(reg._RANK_TABLE)
     cv_colors, pm_colors, present_colors, rank_colors = [], [], [], []
+    if f >= 2:
+        # pooled CVs arrive X-parity de-interleaved (sy, bx, sxx); restore
+        # the plain (sy, sx) cell order for the slab path
+        n_pad = cvq.shape[-1]
+        cvq = (
+            cvq.transpose(0, 1, 2, 4, 3, 5)
+            .reshape(side, side, f, f, n_pad)[..., : npy * npx]
+        )
     if f == 1:
         cv_base = cvq.reshape(side * side, -1)[:, : npy * npx]
         cv_base = cv_base.reshape(side * side, npy, npx)
@@ -498,6 +506,7 @@ def windowed_schedule(
     npy, npx = grid0.shape[:2]
     row0 = jnp.asarray(row0, dtype=jnp.int32)
     im2_row0 = jnp.asarray(im2_row0, dtype=jnp.int32)
+    untiled = make_gp is None
     if make_gp is None:
         def make_gp(g):
             return jnp.pad(g, ((1, 2), (1, 2), (0, 0)))
@@ -534,9 +543,12 @@ def windowed_schedule(
         nby, nbx = grid.shape[:2]
         if cvs_pallas is not None:
             # fused Pallas color-step path: per-color constants hoisted out
-            # of the sweep scan, selection + energy + winner in one kernel;
-            # sub-divided rounds run in parent-major layout (no big transposes)
-            round_fn = _pallas_round_pm if f >= 2 else _pallas_round
+            # of the sweep scan, selection + energy + winner in one kernel.
+            # Untiled sub-divided rounds run in parent-major cell layout (no
+            # big transposes); tiled runs keep the slab path, whose make_gp
+            # candidate gather carries the per-step neighbor MV halo that
+            # the cell-layout lane rolls cannot see.
+            round_fn = _pallas_round_pm if (f >= 2 and untiled) else _pallas_round
             grid = round_fn(
                 grid, cvs_pallas.pop(cur), parent_mv,
                 bs=bs, cur=cur, side=side, r=r, h=h, w=w,

@@ -24,16 +24,24 @@ else:
         block_sizes=(16, 16), search_sizes=(32, 32), interp_factor=1
     )
 
+# full mode runs only the windowed production path: the gather-based
+# fourcolor path at the 4x-interpolated resolution issues pathological
+# per-candidate gathers (it crashed a TPU worker once) and exists for
+# parity, not production; quick mode compares both.
+regs = ("windowed",) if mode == "full" else ("windowed", "fourcolor")
 rows = []
-for reg in ("windowed", "fourcolor"):
+for reg in regs:
     cfg = base.replace(regularizer=reg)
     t0 = time.time()
     results = evaluate.evaluate_middlebury(GT_DIR, cfg)
     dt = time.time() - t0
     rows.append((reg, results, dt))
+    for r in results:
+        print(f"  {reg} {r.name}: {r.epe:.4f}", flush=True)
     print(f"{reg}: {dt:.1f}s", flush=True)
 
-with open("EVAL.md", "w") as f:
+out = "EVAL.md" if mode != "full" else "EVAL_full.md"
+with open(out, "w") as f:
     f.write("# Middlebury evaluation (synthetic GT-warp pairs)\n\n")
     f.write(
         "Frames are synthesized by warping a multi-octave texture through the\n"
@@ -51,4 +59,4 @@ with open("EVAL.md", "w") as f:
         f"{sum(x.epe for x in r[1]) / len(r[1]):.4f}" for r in rows
     )
     f.write(f"| **mean** | {means} |\n")
-print("wrote EVAL.md")
+print(f"wrote {out}")

@@ -97,3 +97,20 @@ def test_windowed_pallas_cv_matches_xla(rng):
     a = np.asarray(engine.estimate_flow_driver(im1, im2, cfgx))
     b = np.asarray(engine.estimate_flow_driver(im1, im2, cfgp))
     np.testing.assert_array_equal(a, b)
+
+
+def test_windowed_tiled_pallas_equals_untiled(rng):
+    # the fused Pallas color-step kernels under shard_map (traced row0)
+    import jax
+    from jax.sharding import Mesh
+    from blockbasedmotionestimation_tpu.parallel import tiled
+
+    cfg = MotionConfig(
+        block_sizes=(4, 4), search_sizes=(6, 6), interp_factor=1,
+        regularizer="windowed", search_impl="pallas_interpret",
+    )
+    im1, im2 = _pair(rng, 128, 64, dy=1, dx=-1, margin=16)
+    mesh = Mesh(np.array(jax.devices()), ("ty",))
+    want = np.asarray(engine.estimate_flow_padded(im1, im2, cfg))
+    got = np.asarray(tiled.estimate_flow_padded_tiled(im1, im2, cfg, mesh))
+    np.testing.assert_array_equal(got, want)
