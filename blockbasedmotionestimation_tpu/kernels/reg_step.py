@@ -165,10 +165,13 @@ def _kernel_pm(
     # box is a few cells (vs side^2 = the full window); the fully-random
     # worst case matches the exhaustive sweep.
     big = jnp.int32(1 << 20)
-    ymin = jnp.min(jnp.where(in_window, ddy, big))
-    ymax = jnp.max(jnp.where(in_window, ddy, -big))
-    xmin = jnp.min(jnp.where(in_window, ddx, big))
-    xmax = jnp.max(jnp.where(in_window, ddx, -big))
+    # bound over candidates that can actually win: non-present slots (incl.
+    # wrap artifacts of the cell-layout lane rolls) must not widen the box
+    bound_on = in_window & (present != 0)
+    ymin = jnp.min(jnp.where(bound_on, ddy, big))
+    ymax = jnp.max(jnp.where(bound_on, ddy, -big))
+    xmin = jnp.min(jnp.where(bound_on, ddx, big))
+    xmax = jnp.max(jnp.where(bound_on, ddx, -big))
     acc_ref[...] = jnp.zeros((9, s2, nt), jnp.int32)
 
     def pick_row(dy, _):

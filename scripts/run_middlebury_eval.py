@@ -48,7 +48,8 @@ with open(out, "w") as f:
         "bundled ground-truth flow (brightness-constancy ideal; input frames\n"
         "are not shipped with the reference). EPE in pixels vs gt-flow.\n\n"
     )
-    f.write(f"Config: {base}\n\nBackend: {jax.default_backend()}\n\n")
+    s_cfg = str(base).replace(f"regularizer='{base.regularizer}', ", "")
+    f.write(f"Config (regularizer per column): {s_cfg}\n\nBackend: {jax.default_backend()}\n\n")
     seqs = [r.name for r in rows[0][1]]
     f.write("| sequence | " + " | ".join(r[0] for r in rows) + " |\n")
     f.write("|---|" + "---|" * len(rows) + "\n")
