@@ -114,3 +114,15 @@ def test_windowed_tiled_pallas_equals_untiled(rng):
     want = np.asarray(engine.estimate_flow_padded(im1, im2, cfg))
     got = np.asarray(tiled.estimate_flow_padded_tiled(im1, im2, cfg, mesh))
     np.testing.assert_array_equal(got, want)
+
+
+def test_windowed_pallas_ssd_matches_xla(rng):
+    cfgx = MotionConfig(
+        block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
+        regularizer="windowed", search_impl="xla", cost="ssd",
+    )
+    cfgp = cfgx.replace(search_impl="pallas_interpret")
+    im1, im2 = _pair(rng, 64, 64, dy=-2, dx=1)
+    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfgx))
+    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfgp))
+    np.testing.assert_array_equal(a, b)
