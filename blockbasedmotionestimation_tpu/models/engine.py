@@ -138,6 +138,19 @@ def estimate_flow_driver(
     return _driver_jit(im1, im2, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _driver_batched_jit(im1s, im2s, cfg: MotionConfig):
+    return jax.vmap(lambda a, b: _driver_jit(a, b, cfg))(im1s, im2s)
+
+
+def estimate_flow_driver_batched(
+    im1s: jnp.ndarray, im2s: jnp.ndarray, cfg: MotionConfig
+) -> jnp.ndarray:
+    """Batched reference-driver scenario over (B, H, W) pairs: one jitted
+    program per batch shape (the sequence runner's throughput path)."""
+    return _driver_batched_jit(im1s, im2s, cfg)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "p"))
 def _batched_jit(im1s, im2s, cfg: MotionConfig, p: pad_ops.Padding):
     return jax.vmap(

@@ -53,3 +53,20 @@ def test_no_torn_checkpoint_tmp_left(tmp_path, rng):
     )
     sequence.run_sequence(_frames(rng, n=2), tmp_path, cfg)
     assert not [f for f in os.listdir(tmp_path) if ".tmp" in f]
+
+
+def test_sequence_batched_matches_single(tmp_path, rng):
+    from blockbasedmotionestimation_tpu.config import tiny_config
+    from blockbasedmotionestimation_tpu.models import sequence
+
+    cfg = tiny_config(block_sizes=(8,), search_sizes=(16,), regularizer="windowed")
+    frames = [rng.integers(0, 256, size=(48, 64), dtype=np.uint8) for _ in range(5)]
+    d1, d2 = tmp_path / "single", tmp_path / "batched"
+    sequence.run_sequence(frames, d1, cfg)
+    r = sequence.run_sequence(frames, d2, cfg, batch_size=3)
+    assert [x.index for x in r] == [0, 1, 2, 3]
+    from blockbasedmotionestimation_tpu.utils import flowio
+    for i in range(4):
+        a = flowio.read_flo(str(d1 / sequence.flo_name(i)))
+        b = flowio.read_flo(str(d2 / sequence.flo_name(i)))
+        np.testing.assert_array_equal(a, b)
