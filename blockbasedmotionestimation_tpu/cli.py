@@ -43,7 +43,7 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--interp", type=int, default=4,
                    help="pre-upsample factor, 1 disables (main_class.cpp:32-33)")
     p.add_argument("--regularizer", default="fourcolor",
-                   choices=["exact", "fourcolor", "jacobi"])
+                   choices=["exact", "fourcolor", "jacobi", "windowed"])
     p.add_argument("--sweeps", type=int, default=2, help="sweeps per subdivision round")
 
 
@@ -99,6 +99,32 @@ def cmd_legend(args) -> int:
     return 0
 
 
+def cmd_sequence(args) -> int:
+    import glob as globmod
+
+    from blockbasedmotionestimation_tpu.models import sequence
+
+    frames = sorted(globmod.glob(args.frames_glob))
+    if len(frames) < 2:
+        print(f"need >= 2 frames, glob matched {len(frames)}", file=sys.stderr)
+        return 1
+    cfg = _cfg_from_args(args)
+
+    def progress(r):
+        state = "resumed" if r.skipped else f"{r.seconds:.3f}s"
+        print(f"pair {r.index:05d}: {state}", flush=True)
+
+    results = sequence.run_sequence(
+        frames, args.out_dir, cfg, progress=progress, batch_size=args.batch
+    )
+    done = [r for r in results if not r.skipped]
+    total = sum(r.seconds for r in done)
+    print(f"{len(done)} computed, {len(results) - len(done)} resumed, "
+          f"{total:.2f}s ({len(done) / total:.2f} pairs/s)" if done else
+          f"0 computed, {len(results)} resumed")
+    return 0
+
+
 def cmd_middlebury(args) -> int:
     from blockbasedmotionestimation_tpu.models import evaluate
 
@@ -139,6 +165,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("out")
     p.add_argument("--range", type=int, default=10)
     p.set_defaults(fn=cmd_legend)
+
+    p = sub.add_parser("sequence",
+                       help="flow for every consecutive pair of a frame "
+                            "sequence, with per-pair .flo checkpoint/resume")
+    p.add_argument("frames_glob", help="glob of grayscale frames, sorted order")
+    p.add_argument("out_dir")
+    p.add_argument("--batch", type=int, default=1,
+                   help="pairs per device program (throughput mode)")
+    _add_engine_args(p)
+    p.set_defaults(fn=cmd_sequence)
 
     p = sub.add_parser("middlebury", help="evaluate over the Middlebury gt-flow set")
     p.add_argument("gt_dir", help="dir with <seq>/flow10.flo ground truth")

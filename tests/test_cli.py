@@ -75,3 +75,27 @@ def test_graft_entry_single_chip():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (96, 128, 2)
+
+
+def test_cli_sequence(tmp_path, rng):
+    from blockbasedmotionestimation_tpu import cli
+    from blockbasedmotionestimation_tpu.utils import flowio
+
+    m = 10
+    base = rng.integers(0, 256, size=(48 + 2 * m, 64 + 2 * m), dtype=np.uint8)
+    for k in range(3):
+        flowio.write_image(
+            str(tmp_path / f"f{k:03d}.png"), base[k : k + 48, 2 * k : 2 * k + 64]
+        )
+    out = tmp_path / "flows"
+    rc = cli.main([
+        "sequence", str(tmp_path / "f*.png"), str(out),
+        "--levels", "1", "--block", "8", "--search", "16", "--interp", "1",
+        "--regularizer", "windowed", "--batch", "2",
+    ])
+    assert rc == 0
+    assert sorted(p.name for p in out.glob("*.flo")) == [
+        "flow00000.flo", "flow00001.flo"
+    ]
+    f0 = flowio.read_flo(str(out / "flow00000.flo"))
+    assert f0.shape == (48, 64, 2)
