@@ -1,6 +1,6 @@
 """Benchmark: 1080p dense MV fields/sec/chip, full pipeline.
 
-Workload: a batch of four 1080p (1080x1920) grayscale frame pairs through the flagship
+Workload: a batch of eight 1080p (1080x1920) grayscale frame pairs through the flagship
 configuration - 4-level pyramid, 32px blocks, 64px search windows (the
 reference's shipped config, main_class.cpp:19-21, minus the 4x Middlebury
 interpolation trick), windowed regularization (the gather-free TPU schedule)
@@ -49,7 +49,7 @@ def main() -> None:
         regularizer="windowed",  # the TPU production fast path
     )
     rng = np.random.default_rng(0)
-    B = 4  # production throughput batch: one jitted program, B fields
+    B = 8  # production throughput batch (B-scaling measured: 8.7/10.3/10.7/10.8 fields/s at B=2/4/6/8): one jitted program, B fields
     base = rng.integers(0, 256, size=(B, H + 16, W + 16), dtype=np.uint8)
     im1 = jax.device_put(jnp.asarray(base[:, :H, :W]))
     im2 = jax.device_put(jnp.asarray(base[:, 5:5 + H, 9:9 + W]))

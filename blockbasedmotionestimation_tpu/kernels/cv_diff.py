@@ -79,8 +79,87 @@ def _pooled_kernel(patches_ref, wslab_ref, *out_refs, bs, ext, r, cost):
     jax.lax.fori_loop(0, (side + 7) // 8, body, 0)
 
 
+def _pooled_kernel_planes(patches_ref, wslab_ref, *out_refs, bs, ext, r, cost):
+    """Parity-plane variant of ``_pooled_kernel``.
+
+    The 5-D reshape-sum 2x2 pooling dominates the straight kernel (~12 of
+    ~21 ms on L0: splitting the x/sublane dim relayouts every element, once
+    per delta column).  Here the x-split happens ONCE per 8-dx group on the
+    loaded (bs, bs+8) window slab (on i16, before widening), patches arrive
+    pre-split from the caller, and per dx the cur=2 cell costs are sums of
+    plane-aligned diffs with static sublane offsets ((p+dxr)//4 in {0,1,2}).
+    The 2x2 y-pool is a leading-dim pair sum (pure tile addressing), and the
+    cur=2 X-parity de-interleaved store layout falls out of the plane
+    pairing (cell x-parity == pixel plane pair).  Deeper sizes pool from the
+    small cur=4 grid with the old reshape-sums.
+
+    patches_ref: (4, bs, bs//4, CB) i16, plane p holds x = 4k + p.
+    """
+    dy = pl.program_id(1)
+    side = 2 * r + 1
+    cb = patches_ref.shape[-1]
+    q4 = bs // 4
+    s2 = bs // 2
+    bp = [patches_ref[p].astype(jnp.int32) for p in range(4)]  # (bs, q4, cb)
+
+    def body(g, _):
+        wide = wslab_ref[pl.ds(ext - r + dy, bs), pl.ds(8 * g, bs + 8), :]
+        wr = wide.reshape(bs, q4 + 2, 4, cb)
+        wq = [wr[:, :, c, :].astype(jnp.int32) for c in range(4)]
+
+        for dxr in range(8):
+            dx = 8 * g + dxr
+            # cur=2 cells (y-pooled): cell x-parity bx from plane pairs
+            # (bx=0 <- pixels x=4k,4k+1; bx=1 <- x=4k+2,4k+3).  Computed
+            # unconditionally (plane widths cover the unrolled dx reach;
+            # masked iterations only skip the stores).
+            halves = []
+            for bx in range(2):
+                acc = None
+                for p in (2 * bx, 2 * bx + 1):
+                    c = (p + dxr) % 4
+                    off = (p + dxr) // 4
+                    d = bp[p] - wq[c][:, off : off + q4, :]
+                    d = jnp.abs(d) if cost == "sad" else d * d
+                    acc = d if acc is None else acc + d
+                halves.append(acc.reshape(s2, 2, q4, cb).sum(axis=1))
+
+            @pl.when(dx < side)
+            def _():
+                dt0 = out_refs[0].dtype
+                for bx in range(2):
+                    out_refs[0][0, dx, :, bx] = halves[bx].astype(dt0)
+                # cur=4: x-pool = interleaved plane-pair sum (elementwise),
+                # y-pool = leading-dim pair sum
+                pool = (halves[0] + halves[1]).reshape(
+                    bs // 4, 2, q4, cb
+                ).sum(axis=1)  # (bs//4, bs//4, cb)
+                s, cur, k = bs // 4, 4, 1
+                while cur <= bs:
+                    dt = out_refs[k].dtype
+                    if cur <= bs // 2:
+                        ps = pool.reshape(s, s // 2, 2, cb)
+                        for bx in range(2):
+                            out_refs[k][0, dx, :, bx] = ps[:, :, bx].astype(dt)
+                    else:
+                        out_refs[k][0, dx] = pool.astype(dt)
+                    k += 1
+                    cur <<= 1
+                    if cur <= bs:
+                        pool = pool.reshape(s // 2, 2, s // 2, 2, cb).sum(
+                            axis=(1, 3)
+                        )
+                        s >>= 1
+        return 0
+
+    jax.lax.fori_loop(0, (side + 7) // 8, body, 0)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("bs", "ext", "r", "cost", "block_chunk", "interpret")
+    jax.jit,
+    static_argnames=(
+        "bs", "ext", "r", "cost", "block_chunk", "interpret", "variant"
+    ),
 )
 def delta_pooled_cvs(
     patches_t: jnp.ndarray,  # (bs, bs, nP) i16 frame-1 parent blocks
@@ -91,6 +170,7 @@ def delta_pooled_cvs(
     cost: str = "sad",
     block_chunk: int = 128,
     interpret: bool = False,
+    variant: str = "auto",
 ) -> dict[int, jnp.ndarray]:
     """Pooled cost volumes per sub-block size, s = bs // cur.
 
@@ -98,7 +178,12 @@ def delta_pooled_cvs(
     de-interleaved so a color plane is pure index arithmetic downstream;
     cur == bs: (side, side, 1, 1, nPad) unsplit.  nPad = nP rounded up to
     the lane-chunk multiple.
+
+    variant: "planes" (parity-plane pooling, needs bs % 8 == 0),
+    "reshape" (per-dx reshape-sum pooling), or "auto" (planes when legal).
     """
+    if variant == "auto":
+        variant = "planes" if bs % 8 == 0 else "reshape"
     n_p = patches_t.shape[-1]
     side = 2 * r + 1
     win = windows_t.shape[0]
@@ -152,19 +237,32 @@ def delta_pooled_cvs(
                     memory_space=pltpu.VMEM,
                 )
             )
+    if variant == "planes":
+        kern = _pooled_kernel_planes
+        # pre-split patches into x-parity planes: plane p holds x = 4k + p
+        patches_in = patches_t.reshape(bs, bs // 4, 4, n).transpose(2, 0, 1, 3)
+        patches_spec = pl.BlockSpec(
+            (4, bs, bs // 4, cb), lambda i, j: (0, 0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        kern = _pooled_kernel
+        patches_in = patches_t
+        patches_spec = pl.BlockSpec(
+            (bs, bs, cb), lambda i, j: (0, 0, i), memory_space=pltpu.VMEM
+        )
     outs = pl.pallas_call(
-        functools.partial(_pooled_kernel, bs=bs, ext=ext, r=r, cost=cost),
+        functools.partial(kern, bs=bs, ext=ext, r=r, cost=cost),
         grid=(n // cb, side),
         in_specs=[
-            pl.BlockSpec((bs, bs, cb), lambda i, j: (0, 0, i),
-                         memory_space=pltpu.VMEM),
+            patches_spec,
             pl.BlockSpec((win, cols, cb), lambda i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(patches_t, wslab)
+    )(patches_in, wslab)
     # lane axis stays PADDED to the chunk multiple - slicing it off here
     # would copy the whole volume; consumers mask or slice as needed
     return dict(zip(curs, outs))
