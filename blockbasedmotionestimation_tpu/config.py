@@ -60,6 +60,16 @@ class MotionConfig:
       search_order: ``spiral`` is the reference's live path
         (``motion_framework.cpp:296-422``); ``raster`` is its exhaustive
         variant with the closest-to-source tie-break (``:246-294``).
+      window_center: ``windowed`` mode only.  ``pred`` (default) centers the
+        per-parent windows on the truncated prediction - the spiral search's
+        own center (``motion_framework.cpp:233-234``) - so ONE pooled
+        cost-volume pass serves both the search argmin and every
+        regularization round (the fused fast path; candidates are evaluable
+        iff they land in the prediction window).  ``search`` centers them on
+        the search winner (two cost volumes per level; candidates bounded by
+        ``reg_radius`` around the winner).  The fused path requires
+        ``search_order="spiral"`` and default ``reg_radius``; other settings
+        fall back to ``search`` centering.
     """
 
     block_sizes: tuple[int, ...] = (32, 32, 32, 32)
@@ -72,6 +82,7 @@ class MotionConfig:
     search_impl: SearchImpl = "auto"
     search_order: SearchOrder = "spiral"
     reg_radius: int | None = None
+    window_center: Literal["pred", "search"] = "pred"
 
     def __post_init__(self) -> None:
         if len(self.block_sizes) != len(self.search_sizes):
@@ -92,6 +103,16 @@ class MotionConfig:
     @property
     def num_levels(self) -> int:
         return len(self.block_sizes)
+
+    @property
+    def uses_fused_windowed(self) -> bool:
+        """True when levels run the fused one-cost-volume windowed path."""
+        return (
+            self.regularizer == "windowed"
+            and self.window_center == "pred"
+            and self.search_order == "spiral"
+            and self.reg_radius is None
+        )
 
     def shift(self, level: int) -> int:
         """Search extent: reference ``shift = search_size - block_size``."""

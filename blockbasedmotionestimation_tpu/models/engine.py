@@ -31,7 +31,7 @@ from blockbasedmotionestimation_tpu.ops import pad as pad_ops
 from blockbasedmotionestimation_tpu.ops import resample
 from blockbasedmotionestimation_tpu.ops.regularize import run_schedule
 from blockbasedmotionestimation_tpu.ops.search import block_search_level
-from blockbasedmotionestimation_tpu.ops.windowed import windowed_schedule
+from blockbasedmotionestimation_tpu.ops.windowed import windowed_level, windowed_schedule
 
 
 def transfer_mvs(dense_coarse: jnp.ndarray, coarse_bs: int, fine_bs: int) -> jnp.ndarray:
@@ -65,6 +65,14 @@ def _run_level(
     cfg: MotionConfig,
 ) -> jnp.ndarray:
     """Search + regularization schedule for one level; returns the stride-1 grid."""
+    lam0f = float(bs) * cfg.lambda_scale
+    if cfg.uses_fused_windowed:
+        # fused path: one window gather + pooled cost volume serves the
+        # spiral-search argmin AND the regularization rounds (ops.windowed)
+        return windowed_level(
+            im1, im2, pred, bs, ss, lam0f, cfg.sweeps_per_round,
+            cost=cfg.cost, impl=cfg.search_impl,
+        )
     grid = block_search_level(
         im1, im2, pred, bs, ss, impl=cfg.search_impl, order=cfg.search_order,
         cost=cfg.cost,

@@ -36,9 +36,10 @@ import numpy as np
 from blockbasedmotionestimation_tpu.ops import regularize as reg
 from blockbasedmotionestimation_tpu.ops.search import _gather_windows
 from blockbasedmotionestimation_tpu.ops.search import resolve_impl as _resolve_impl
-from blockbasedmotionestimation_tpu.ops.spiral import spiral_extent
+from blockbasedmotionestimation_tpu.ops.spiral import spiral_extent, spiral_offsets
 
 _F32_MAX = np.float32(np.finfo(np.float32).max)
+_I32_MAX = np.int32(np.iinfo(np.int32).max)
 
 
 def _cv_dtype(cur: int, cost: str):
@@ -496,8 +497,6 @@ def windowed_schedule(
     ordering, evaluated against per-parent windows.  Returns the stride-1 MV
     grid.
     """
-    from blockbasedmotionestimation_tpu.models.engine import subdivide
-
     ht, w = im1.shape
     h = ht if full_h is None else full_h
     ext = spiral_extent(ss - bs)
@@ -535,6 +534,41 @@ def windowed_schedule(
     else:
         cvs_pallas = None
 
+    return _rounds_loop(
+        patches1, windows, grid0, parent_mv, bs, ext, r, cost, h, w, row0,
+        make_gp, lam0, sweeps_per_round, impl, untiled, cvs_pallas,
+    )
+
+
+def _rounds_loop(
+    patches1: jnp.ndarray,
+    windows: jnp.ndarray,
+    grid0: jnp.ndarray,
+    parent_mv: jnp.ndarray,  # (npy, npx, 2) i32: the windows' center MVs
+    bs: int,
+    ext: int,
+    r: int,
+    cost: str,
+    h: int,
+    w: int,
+    row0: jnp.ndarray,
+    make_gp,
+    lam0: float,
+    sweeps_per_round: int,
+    impl: str,
+    untiled: bool,
+    cvs_pallas: dict[int, jnp.ndarray] | None,
+) -> jnp.ndarray:
+    """The subdivision rounds of the windowed schedule (see module docstring).
+
+    Candidate deltas are rebased against ``parent_mv`` - whatever MV the
+    windows were centered on (the search winner in ``windowed_schedule``, the
+    truncated prediction in ``windowed_level``).
+    """
+    from blockbasedmotionestimation_tpu.models.engine import subdivide
+
+    side = 2 * r + 1
+    npy, npx = parent_mv.shape[:2]
     grid = grid0
     cur, lam = bs, lam0
     rank_table = jnp.asarray(reg._RANK_TABLE)
@@ -661,3 +695,133 @@ def windowed_schedule(
         cur >>= 1
         lam *= 2.0
     return grid
+
+
+def windowed_level(
+    im1: jnp.ndarray,
+    im2: jnp.ndarray,
+    pred: jnp.ndarray,  # (nPy, nPx, 2) f32 predicted MVs at block origins
+    bs: int,
+    ss: int,
+    lam0: float,
+    sweeps_per_round: int,
+    *,
+    cost: str = "sad",
+    full_h: int | None = None,
+    row0: jnp.ndarray | int = 0,
+    im2_row0: jnp.ndarray | int = 0,
+    make_gp=None,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Fused block search + windowed regularization from ONE cost volume.
+
+    ``windowed_schedule`` centers its windows on the search winner, so each
+    level pays for two full (2S+1)^2 SAD volumes over near-identical windows:
+    one inside the spiral search (``motion_framework.cpp:296-422``), one for
+    the regularizer's cost volume.  Centering the windows on the TRUNCATED
+    PREDICTION instead - the exact center the spiral search walks around
+    (``:233-234``) - lets a single pooled cost-volume pass serve both:
+
+      * the search winner is the lexicographic (cost, spiral-visit-rank)
+        minimum of the full-block (cur == bs) volume, masked by the global
+        in-image bounds - BIT-IDENTICAL to ``ops.search.block_search_level``
+        (same windows, same costs, same tie-break);
+      * the regularization rounds read the same pooled volumes with candidate
+        deltas rebased against the prediction.
+
+    Deviation from ``windowed_schedule`` (measured, see DESIGN.md): a
+    candidate is evaluable iff it lands within the PREDICTION-centered window
+    (|cand - trunc(pred)| <= S) rather than within reg_radius of the search
+    winner.  Both windows have half-width S and the search winner always lies
+    inside the prediction window, so the two sets overlap heavily; updates
+    still only ever adopt evaluated candidates.  ``reg_radius`` is not
+    supported here (the single shared window fixes the radius at S) - the
+    engine falls back to the two-pass path when it is set.
+
+    Returns the stride-1 MV grid, like ``windowed_schedule``.
+    """
+    ht, w = im1.shape
+    h = ht if full_h is None else full_h
+    shift = ss - bs
+    dys_np, dxs_np, ext = spiral_offsets(shift)
+    side = 2 * ext + 1
+    npy, npx = pred.shape[:2]
+    nblk = npy * npx
+    row0 = jnp.asarray(row0, dtype=jnp.int32)
+    im2_row0 = jnp.asarray(im2_row0, dtype=jnp.int32)
+    untiled = make_gp is None
+    if make_gp is None:
+        def make_gp(g):
+            return jnp.pad(g, ((1, 2), (1, 2), (0, 0)))
+
+    # the spiral search's center: origin + (int)-truncated prediction, with
+    # the zero-MV early-out for centers outside the image (:304-310)
+    oy = row0 + jnp.arange(npy, dtype=jnp.int32)[:, None] * bs
+    ox = jnp.arange(npx, dtype=jnp.int32)[None, :] * bs
+    cu = pred[..., 0].astype(jnp.int32)
+    cv_ = pred[..., 1].astype(jnp.int32)
+    cy = oy + cv_
+    cx = ox + cu
+    center_ok = (cy >= 0) & (cy <= h - bs) & (cx >= 0) & (cx <= w - bs)
+    cy_safe = jnp.where(center_ok, cy, jnp.broadcast_to(oy, (npy, npx)))
+    cx_safe = jnp.where(center_ok, cx, jnp.broadcast_to(ox, (npy, npx)))
+
+    by = jnp.clip(cy_safe - im2_row0, 0, im2.shape[0] - bs)
+    windows = (
+        _gather_windows(im2, by.reshape(-1), cx_safe.reshape(-1), bs, ext)
+        .astype(jnp.int16)
+        .reshape(npy, npx, bs + 2 * ext, bs + 2 * ext)
+    )
+    patches1 = (
+        im1.reshape(npy, bs, npx, bs).transpose(0, 2, 1, 3).astype(jnp.int16)
+    )
+    # the windows' actual global center MV: deltas downstream rebase on this
+    base_mv = jnp.stack([cx_safe - ox, (by + im2_row0) - oy], axis=-1)
+
+    impl = _resolve_impl(impl)
+    if impl in ("pallas", "pallas_interpret"):
+        cvs_pallas = _all_round_cvs_pallas(
+            patches1, windows, bs, ext, ext, cost,
+            interpret=(impl == "pallas_interpret"),
+        )
+        # cur == bs volume: (side, side, 1, 1, nPad) unsplit layout
+        sad_flat = cvs_pallas[bs].reshape(side * side, -1).astype(jnp.int32)
+    else:
+        cvs_pallas = None
+        sad_flat = (
+            _compute_cv(patches1, windows, bs, bs, ext, ext, cost)
+            .reshape(side * side, nblk)
+            .astype(jnp.int32)
+        )
+
+    # spiral argmin over the volume: strict-< first-visit-wins == two-stage
+    # (min cost, then min spiral-visit order among cost ties)
+    nlan = sad_flat.shape[1]
+    cyf = jnp.pad(cy_safe.reshape(nblk), (0, nlan - nblk))
+    cxf = jnp.pad(cx_safe.reshape(nblk), (0, nlan - nblk))
+    didx = jnp.arange(side * side, dtype=jnp.int32)
+    dy_of = didx // side - ext
+    dx_of = didx % side - ext
+    ty = cyf[None, :] + dy_of[:, None]
+    tx = cxf[None, :] + dx_of[:, None]
+    ok = (ty >= 0) & (ty <= h - bs) & (tx >= 0) & (tx <= w - bs)
+    sad_m = jnp.where(ok, sad_flat, _I32_MAX)
+    order = np.full((side, side), np.iinfo(np.int32).max, dtype=np.int32)
+    order[dys_np + ext, dxs_np + ext] = np.arange(side * side, dtype=np.int32)
+    best_sad = jnp.min(sad_m, axis=0)
+    rank_m = jnp.where(
+        sad_m == best_sad[None, :],
+        jnp.asarray(order.reshape(-1))[:, None],
+        np.iinfo(np.int32).max,
+    )
+    oi = jnp.min(rank_m, axis=0)  # winning spiral-visit index (center valid)
+    best_dy = jnp.asarray(dys_np)[oi][:nblk].reshape(npy, npx)
+    best_dx = jnp.asarray(dxs_np)[oi][:nblk].reshape(npy, npx)
+    u = jnp.where(center_ok, (cx_safe + best_dx - ox).astype(jnp.float32), 0.0)
+    v = jnp.where(center_ok, (cy_safe + best_dy - oy).astype(jnp.float32), 0.0)
+    grid0 = jnp.stack([u, v], axis=-1)
+
+    return _rounds_loop(
+        patches1, windows, grid0, base_mv, bs, ext, ext, cost, h, w, row0,
+        make_gp, lam0, sweeps_per_round, impl, untiled, cvs_pallas,
+    )

@@ -105,16 +105,26 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
         im2_buf = _exchange_rows(im2_t, halo, axis)
         im2_row0 = row0 - halo
 
+        def make_gp(g):
+            # refresh the 1-block-row MV halo before each color step
+            gh = _exchange_rows(g, 1, axis)  # (north, local, south) rows
+            return jnp.pad(gh, ((0, 1), (1, 2), (0, 0)))
+
+        if cfg.uses_fused_windowed:
+            from blockbasedmotionestimation_tpu.ops.windowed import windowed_level
+
+            return windowed_level(
+                im1_t, im2_buf, pred_t, bs, ss,
+                float(bs) * cfg.lambda_scale, cfg.sweeps_per_round,
+                cost=cfg.cost, full_h=full_h, row0=row0, im2_row0=im2_row0,
+                make_gp=make_gp, impl=cfg.search_impl,
+            )
+
         grid = block_search_level(
             im1_t, im2_buf, pred_t, bs, ss,
             full_h=full_h, row0=row0, im2_row0=im2_row0, impl=cfg.search_impl,
             order=cfg.search_order, cost=cfg.cost,
         )
-
-        def make_gp(g):
-            # refresh the 1-block-row MV halo before each color step
-            gh = _exchange_rows(g, 1, axis)  # (north, local, south) rows
-            return jnp.pad(gh, ((0, 1), (1, 2), (0, 0)))
 
         lam0 = float(bs) * cfg.lambda_scale
         if cfg.regularizer == "windowed":

@@ -20,7 +20,7 @@ from blockbasedmotionestimation_tpu.models import engine
 from blockbasedmotionestimation_tpu.ops import resample, search, windowed
 
 H, W = 1080, 1920
-B = 4
+B = 8
 cfg = MotionConfig(
     block_sizes=(32, 32, 32, 32),
     search_sizes=(64, 64, 64, 64),

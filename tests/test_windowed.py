@@ -126,3 +126,57 @@ def test_windowed_pallas_ssd_matches_xla(rng):
     a = np.asarray(engine.estimate_flow_driver(im1, im2, cfgx))
     b = np.asarray(engine.estimate_flow_driver(im1, im2, cfgp))
     np.testing.assert_array_equal(a, b)
+
+
+def test_fused_search_winner_matches_block_search(rng):
+    # windowed_level's grid0 (the fused spiral argmin over the pooled cost
+    # volume) must be BIT-IDENTICAL to ops.search.block_search_level: same
+    # windows, same costs, same (cost, spiral-rank) tie-break.
+    import jax.numpy as jnp
+
+    from blockbasedmotionestimation_tpu.ops.search import block_search_level
+    from blockbasedmotionestimation_tpu.ops.windowed import windowed_level
+
+    im1np, im2np = _pair(rng, 64, 64, dy=3, dx=-2)
+    im1, im2 = jnp.asarray(im1np), jnp.asarray(im2np)
+    bs, ss = 8, 24
+    pred = jnp.asarray(
+        rng.integers(-4, 5, size=(64 // bs, 64 // bs, 2)), dtype=jnp.float32
+    )
+    want = np.asarray(block_search_level(im1, im2, pred, bs, ss))
+    # sweeps_per_round=0 makes every regularization round a no-op adoption of
+    # the incumbent, so the output is the subdivided search winner
+    got = np.asarray(
+        windowed_level(im1, im2, pred, bs, ss, lam0=4.0, sweeps_per_round=0)
+    )
+    want_dense = np.repeat(np.repeat(want, bs, axis=0), bs, axis=1)
+    np.testing.assert_array_equal(got, want_dense)
+
+
+def test_fused_pred_center_close_to_search_center(rng):
+    # the fused (prediction-centered) path vs the two-pass (winner-centered)
+    # path: identical on a clean translation, near-identical on noise
+    cfgp = MotionConfig(
+        block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
+        regularizer="windowed", window_center="pred",
+    )
+    cfgs = cfgp.replace(window_center="search")
+    assert cfgp.uses_fused_windowed and not cfgs.uses_fused_windowed
+    im1, im2 = _pair(rng, 64, 64, dy=1, dx=-2)
+    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfgp))
+    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfgs))
+    np.testing.assert_array_equal(a[16:-16, 16:-16], b[16:-16, 16:-16])
+    assert (a == b).all(axis=-1).mean() > 0.9
+
+
+def test_fused_pallas_matches_xla(rng):
+    cfgx = MotionConfig(
+        block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
+        regularizer="windowed", search_impl="xla",
+    )
+    cfgp = cfgx.replace(search_impl="pallas_interpret")
+    assert cfgx.uses_fused_windowed
+    im1, im2 = _pair(rng, 64, 64, dy=2, dx=1)
+    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfgx))
+    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfgp))
+    np.testing.assert_array_equal(a, b)
