@@ -1,4 +1,9 @@
 """Enable the persistent compile cache for all profiling scripts."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
