@@ -155,6 +155,87 @@ def _pooled_kernel_planes(patches_ref, wslab_ref, *out_refs, bs, ext, r, cost):
     jax.lax.fori_loop(0, (side + 7) // 8, body, 0)
 
 
+def _diff_kernel_static(patches_ref, wplanes_ref, o2_ref, o4_ref, *, bs, ext,
+                        r, cost):
+    """Fully-unrolled parity-plane diff kernel: cur=2 and cur=4, both split.
+
+    Structural changes over ``_pooled_kernel_planes``, measured ~2x faster
+    together with ``_tail_kernel_static`` (scripts/tpu_cv_split2.py: ~13-15
+    -> ~7 ms on L0 at 1152x1920):
+
+      * the delta-column loop is a STATIC ``range(side)`` - no group
+        fori_loop, no ``pl.when`` masking of the 8-wide unroll tail;
+      * the window x-parity planes arrive PRE-SPLIT from the caller (one
+        cheap XLA transpose) instead of a per-group in-kernel sublane
+        relayout of the loaded slab;
+      * only cur <= 4 is produced here; deeper sizes pool from the SPLIT
+        cur=4 volume in ``_tail_kernel_static``, where the x-pair merge is
+        a free (non-sublane) select.
+
+    patches_ref: (4, bs, bs//4, CB) i16, plane p holds x = 4k + p.
+    wplanes_ref: (4, win, cols//4, CB) i16, same plane convention.
+    """
+    dy = pl.program_id(1)
+    side = 2 * r + 1
+    q4 = bs // 4
+    s2 = bs // 2
+    cb = patches_ref.shape[-1]
+    bp = [patches_ref[p].astype(jnp.int32) for p in range(4)]
+    wq = [wplanes_ref[c, pl.ds(ext - r + dy, bs), :, :] for c in range(4)]
+
+    dt2 = o2_ref.dtype
+    dt4 = o4_ref.dtype
+    for dx in range(side):
+        halves = []
+        for bx in range(2):
+            acc = None
+            for p in (2 * bx, 2 * bx + 1):
+                c = (p + dx) % 4
+                off = (p + dx) // 4
+                d = bp[p] - wq[c][:, off : off + q4, :].astype(jnp.int32)
+                d = jnp.abs(d) if cost == "sad" else d * d
+                acc = d if acc is None else acc + d
+            halves.append(acc.reshape(s2, 2, q4, cb).sum(axis=1))
+        for bx in range(2):
+            o2_ref[0, dx, :, bx] = halves[bx].astype(dt2)
+        pool4 = (halves[0] + halves[1]).reshape(q4, 2, q4, cb).sum(axis=1)
+        ps = pool4.reshape(q4, q4 // 2, 2, cb)
+        for bx in range(2):
+            o4_ref[0, dx, :, bx] = ps[:, :, bx].astype(dt4)
+
+
+def _tail_kernel_static(cv4_ref, *out_refs, bs):
+    """cur >= 8 volumes from the SPLIT cur=4 volume, all deltas at once.
+
+    In split form the 2x2 cell pooling is almost relayout-free: the x-pair
+    merge adds the two parity planes (a non-sublane select), the y-pair
+    merge reshapes a non-minor dim (register adds); only re-splitting the
+    OUTPUT's x parity touches sublanes, on 4x-shrinking data.  Doing this
+    against the unsplit volume instead costs a full sublane relayout of
+    every element per stage (measured ~2x slower end to end), and doing it
+    in XLA over the HBM-resident volume costs 10+ ms in strided slices.
+    """
+    c = cv4_ref[0].astype(jnp.int32)  # (side, s, 2, s//2, cb)
+    side, s = c.shape[0], c.shape[1]
+    cb = c.shape[-1]
+    e, o = c[:, :, 0], c[:, :, 1]     # (side, s, s//2, cb) x-parity planes
+    cur, k = 4, 0
+    while cur < bs:
+        a = e + o                                   # x-pair merge
+        ar = a.reshape(side, s // 2, 2, s // 2, cb)
+        b = ar[:, :, 0] + ar[:, :, 1]               # y-pair merge
+        cur, s = cur * 2, s // 2
+        dt = out_refs[k].dtype
+        if cur < bs:
+            cr = b.reshape(side, s, s // 2, 2, cb)  # sublane re-split
+            e, o = cr[:, :, :, 0], cr[:, :, :, 1]
+            out_refs[k][0, :, :, 0] = e.astype(dt)
+            out_refs[k][0, :, :, 1] = o.astype(dt)
+        else:
+            out_refs[k][0] = b.astype(dt)
+        k += 1
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -179,11 +260,13 @@ def delta_pooled_cvs(
     cur == bs: (side, side, 1, 1, nPad) unsplit.  nPad = nP rounded up to
     the lane-chunk multiple.
 
-    variant: "planes" (parity-plane pooling, needs bs % 8 == 0),
-    "reshape" (per-dx reshape-sum pooling), or "auto" (planes when legal).
+    variant: "static" (fully-unrolled parity-plane kernel + XLA-derived
+    deeper sizes, needs bs % 8 == 0), "planes" (grouped parity-plane
+    pooling, bs % 8 == 0), "reshape" (per-dx reshape-sum pooling), or
+    "auto" (static when legal).
     """
     if variant == "auto":
-        variant = "planes" if bs % 8 == 0 else "reshape"
+        variant = "static" if bs % 8 == 0 else "reshape"
     n_p = patches_t.shape[-1]
     side = 2 * r + 1
     win = windows_t.shape[0]
@@ -210,6 +293,95 @@ def delta_pooled_cvs(
     while cur <= bs:
         curs.append(cur)
         cur <<= 1
+
+    if variant == "static":
+        q4 = bs // 4
+        s2 = bs // 2
+        # the whole-delta-row blocks + unrolled temporaries exceed the
+        # default 16M scoped-vmem budget; v5e has headroom well past it
+        params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        patches_in = patches_t.reshape(bs, q4, 4, n).transpose(2, 0, 1, 3)
+        wplanes = wslab.reshape(win, cols // 4, 4, n).transpose(2, 0, 1, 3)
+        o2, o4 = pl.pallas_call(
+            functools.partial(
+                _diff_kernel_static, bs=bs, ext=ext, r=r, cost=cost
+            ),
+            grid=(n // cb, side),
+            in_specs=[
+                pl.BlockSpec((4, bs, q4, cb), lambda i, j: (0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, win, cols // 4, cb),
+                             lambda i, j: (0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, side, s2, 2, s2 // 2, cb),
+                             lambda i, j: (j, 0, 0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, side, q4, 2, q4 // 2, cb),
+                             lambda i, j: (j, 0, 0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (side, side, s2, 2, s2 // 2, n), cv_dtype(2, cost)
+                ),
+                jax.ShapeDtypeStruct(
+                    (side, side, q4, 2, q4 // 2, n), cv_dtype(4, cost)
+                ),
+            ],
+            compiler_params=params,
+            interpret=interpret,
+        )(patches_in, wplanes)
+        cvs = {2: o2, 4: o4}
+        if bs > 4:
+            out_shapes, out_specs = [], []
+            for c in curs[2:]:
+                s = bs // c
+                if c <= bs // 2:
+                    out_shapes.append(
+                        jax.ShapeDtypeStruct(
+                            (side, side, s, 2, s // 2, n), cv_dtype(c, cost)
+                        )
+                    )
+                    out_specs.append(
+                        pl.BlockSpec(
+                            (1, side, s, 2, s // 2, cb),
+                            lambda i, j: (j, 0, 0, 0, 0, i),
+                            memory_space=pltpu.VMEM,
+                        )
+                    )
+                else:
+                    out_shapes.append(
+                        jax.ShapeDtypeStruct(
+                            (side, side, s, s, n), cv_dtype(c, cost)
+                        )
+                    )
+                    out_specs.append(
+                        pl.BlockSpec(
+                            (1, side, s, s, cb),
+                            lambda i, j: (j, 0, 0, 0, i),
+                            memory_space=pltpu.VMEM,
+                        )
+                    )
+            deeper = pl.pallas_call(
+                functools.partial(_tail_kernel_static, bs=bs),
+                grid=(n // cb, side),
+                in_specs=[
+                    pl.BlockSpec((1, side, q4, 2, q4 // 2, cb),
+                                 lambda i, j: (j, 0, 0, 0, 0, i),
+                                 memory_space=pltpu.VMEM)
+                ],
+                out_specs=out_specs,
+                out_shape=out_shapes,
+                compiler_params=params,
+                interpret=interpret,
+            )(o4)
+            if not isinstance(deeper, (list, tuple)):
+                deeper = [deeper]
+            cvs.update(dict(zip(curs[2:], deeper)))
+        return cvs
+
     out_shapes, out_specs = [], []
     for c in curs:
         s = bs // c
