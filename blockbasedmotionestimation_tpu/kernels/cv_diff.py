@@ -197,11 +197,11 @@ def _diff_kernel_static(patches_ref, wplanes_ref, o2_ref, o4_ref, *, bs, ext,
                 acc = d if acc is None else acc + d
             halves.append(acc.reshape(s2, 2, q4, cb).sum(axis=1))
         for bx in range(2):
-            o2_ref[0, dx, :, bx] = halves[bx].astype(dt2)
+            o2_ref[:, bx, 0, 0, dx] = halves[bx].astype(dt2)
         pool4 = (halves[0] + halves[1]).reshape(q4, 2, q4, cb).sum(axis=1)
         ps = pool4.reshape(q4, q4 // 2, 2, cb)
         for bx in range(2):
-            o4_ref[0, dx, :, bx] = ps[:, :, bx].astype(dt4)
+            o4_ref[:, bx, 0, 0, dx] = ps[:, :, bx].astype(dt4)
 
 
 def _tail_kernel_static(cv4_ref, *out_refs, bs):
@@ -215,24 +215,23 @@ def _tail_kernel_static(cv4_ref, *out_refs, bs):
     every element per stage (measured ~2x slower end to end), and doing it
     in XLA over the HBM-resident volume costs 10+ ms in strided slices.
     """
-    c = cv4_ref[0].astype(jnp.int32)  # (side, s, 2, s//2, cb)
-    side, s = c.shape[0], c.shape[1]
-    cb = c.shape[-1]
-    e, o = c[:, :, 0], c[:, :, 1]     # (side, s, s//2, cb) x-parity planes
+    c = cv4_ref[:, :, 0, 0].astype(jnp.int32)  # (s, 2, side, s//2, cb)
+    s, side, cb = c.shape[0], c.shape[2], c.shape[-1]
+    e, o = c[:, 0], c[:, 1]           # (s, side, s//2, cb) x-parity planes
     cur, k = 4, 0
     while cur < bs:
         a = e + o                                   # x-pair merge
-        ar = a.reshape(side, s // 2, 2, s // 2, cb)
-        b = ar[:, :, 0] + ar[:, :, 1]               # y-pair merge
+        ar = a.reshape(s // 2, 2, side, s // 2, cb)
+        b = ar[:, 0] + ar[:, 1]                     # y-pair merge
         cur, s = cur * 2, s // 2
         dt = out_refs[k].dtype
         if cur < bs:
-            cr = b.reshape(side, s, s // 2, 2, cb)  # sublane re-split
+            cr = b.reshape(s, side, s // 2, 2, cb)  # sublane re-split
             e, o = cr[:, :, :, 0], cr[:, :, :, 1]
-            out_refs[k][0, :, :, 0] = e.astype(dt)
-            out_refs[k][0, :, :, 1] = o.astype(dt)
-        else:
-            out_refs[k][0] = b.astype(dt)
+            out_refs[k][:, 0, 0, 0] = e.astype(dt)
+            out_refs[k][:, 1, 0, 0] = o.astype(dt)
+        else:  # cur == bs: legacy unsplit (side, side, 1, 1, n) layout
+            out_refs[k][0] = b.reshape(side, 1, 1, cb).astype(dt)
         k += 1
 
 
@@ -255,8 +254,12 @@ def delta_pooled_cvs(
 ) -> dict[int, jnp.ndarray]:
     """Pooled cost volumes per sub-block size, s = bs // cur.
 
-    cur <= bs/2: (side, side, s, 2, s//2, nPad) with the X parity
-    de-interleaved so a color plane is pure index arithmetic downstream;
+    cur <= bs/2: CHUNK-MAJOR split layout (s, 2, nPad//128, side, side,
+    s//2, 128) - the X parity de-interleaved so a color plane is pure index
+    arithmetic downstream, and the parent-chunk dim hoisted ahead of the
+    delta dims so one color-step tile's CV block is a CONTIGUOUS HBM run
+    (the old nP-minor layout DMA'd every volume in 256-byte strided chunks
+    on both the write and the read side);
     cur == bs: (side, side, 1, 1, nPad) unsplit.  nPad = nP rounded up to
     the lane-chunk multiple.
 
@@ -297,6 +300,7 @@ def delta_pooled_cvs(
     if variant == "static":
         q4 = bs // 4
         s2 = bs // 2
+        nch = n // cb
         # the whole-delta-row blocks + unrolled temporaries exceed the
         # default 16M scoped-vmem budget; v5e has headroom well past it
         params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
@@ -306,7 +310,7 @@ def delta_pooled_cvs(
             functools.partial(
                 _diff_kernel_static, bs=bs, ext=ext, r=r, cost=cost
             ),
-            grid=(n // cb, side),
+            grid=(nch, side),
             in_specs=[
                 pl.BlockSpec((4, bs, q4, cb), lambda i, j: (0, 0, 0, i),
                              memory_space=pltpu.VMEM),
@@ -315,19 +319,19 @@ def delta_pooled_cvs(
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, side, s2, 2, s2 // 2, cb),
-                             lambda i, j: (j, 0, 0, 0, 0, i),
+                pl.BlockSpec((s2, 2, 1, 1, side, s2 // 2, cb),
+                             lambda i, j: (0, 0, i, j, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, side, q4, 2, q4 // 2, cb),
-                             lambda i, j: (j, 0, 0, 0, 0, i),
+                pl.BlockSpec((q4, 2, 1, 1, side, q4 // 2, cb),
+                             lambda i, j: (0, 0, i, j, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct(
-                    (side, side, s2, 2, s2 // 2, n), cv_dtype(2, cost)
+                    (s2, 2, nch, side, side, s2 // 2, cb), cv_dtype(2, cost)
                 ),
                 jax.ShapeDtypeStruct(
-                    (side, side, q4, 2, q4 // 2, n), cv_dtype(4, cost)
+                    (q4, 2, nch, side, side, q4 // 2, cb), cv_dtype(4, cost)
                 ),
             ],
             compiler_params=params,
@@ -341,13 +345,14 @@ def delta_pooled_cvs(
                 if c <= bs // 2:
                     out_shapes.append(
                         jax.ShapeDtypeStruct(
-                            (side, side, s, 2, s // 2, n), cv_dtype(c, cost)
+                            (s, 2, nch, side, side, s // 2, cb),
+                            cv_dtype(c, cost),
                         )
                     )
                     out_specs.append(
                         pl.BlockSpec(
-                            (1, side, s, 2, s // 2, cb),
-                            lambda i, j: (j, 0, 0, 0, 0, i),
+                            (s, 2, 1, 1, side, s // 2, cb),
+                            lambda i, j: (0, 0, i, j, 0, 0, 0),
                             memory_space=pltpu.VMEM,
                         )
                     )
@@ -366,10 +371,10 @@ def delta_pooled_cvs(
                     )
             deeper = pl.pallas_call(
                 functools.partial(_tail_kernel_static, bs=bs),
-                grid=(n // cb, side),
+                grid=(nch, side),
                 in_specs=[
-                    pl.BlockSpec((1, side, q4, 2, q4 // 2, cb),
-                                 lambda i, j: (j, 0, 0, 0, 0, i),
+                    pl.BlockSpec((q4, 2, 1, 1, side, q4 // 2, cb),
+                                 lambda i, j: (0, 0, i, j, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
                 ],
                 out_specs=out_specs,
@@ -436,5 +441,16 @@ def delta_pooled_cvs(
         interpret=interpret,
     )(patches_in, wslab)
     # lane axis stays PADDED to the chunk multiple - slicing it off here
-    # would copy the whole volume; consumers mask or slice as needed
-    return dict(zip(curs, outs))
+    # would copy the whole volume; consumers mask or slice as needed.
+    # Legacy variants emit the old (side, side, s, 2, s//2, n) split layout;
+    # convert to the chunk-major contract (one XLA transpose per volume -
+    # these variants are compat fallbacks, the static kernel is the fast
+    # path and writes chunk-major natively).
+    cvs = {}
+    for c, out in zip(curs, outs):
+        if c <= bs // 2:
+            s = bs // c
+            out = out.reshape(side, side, s, 2, s // 2, n // cb, cb)
+            out = out.transpose(2, 3, 5, 0, 1, 4, 6)
+        cvs[c] = out
+    return cvs

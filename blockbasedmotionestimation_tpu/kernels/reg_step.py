@@ -130,7 +130,7 @@ def _kernel(
 def _kernel_pm(
     sc_ref,        # (4,) i32 prefetch: [color, ci, cj, row0_b] (unused here)
     lam_ref,       # (1, 1) f32 SMEM
-    cv_ref,        # (side^2, 1, 1, s2, 128) u16/i32: this color's CV cells
+    cv_ref,        # (1, 1, 1, side, side, s2, 128): this color's CV cells
     cands_ref,     # (9, 2, 1, s2, 128) i32
     pm_ref,        # (2, 128) i32 parent search MVs
     present_ref,   # (1, 9, 1, s2, 128) i32
@@ -177,7 +177,7 @@ def _kernel_pm(
     def pick_row(dy, _):
         def pick_col(dx, __):
             s = (dy + r) * side + (dx + r)
-            v = cv_ref[s, 0, 0].astype(jnp.int32)  # (s2, nt)
+            v = cv_ref[0, 0, 0, dy + r, dx + r].astype(jnp.int32)  # (s2, nt)
             acc_ref[...] = jnp.where(key == s, v[None], acc_ref[...])
             return 0
 
@@ -232,7 +232,7 @@ def _kernel_pm(
 def windowed_color_step_pm(
     scalars: jnp.ndarray,         # (4,) i32 [color, ci, cj, row0_b]
     lam_mult: jnp.ndarray,        # f32 scalar
-    cv_pm: jnp.ndarray,           # (side^2, f, 2, s2, nPp) u16/i32
+    cv_pm: jnp.ndarray,           # (f, 2, nPp//128, side, side, s2, 128)
     cands_pm: jnp.ndarray,        # (9, 2, s2, s2, nPp) i32
     pm_lane: jnp.ndarray,         # (2, nPp) i32
     present_pm: jnp.ndarray,      # (4, 9, s2, s2, nPp) i32
@@ -248,13 +248,15 @@ def windowed_color_step_pm(
 ) -> jnp.ndarray:
     """(2, s2, s2, nPp) i32 winner MVs, parent-major cell layout.
 
-    All big arrays stay in the pooled-CV kernel's native layout (cells of
-    one parent on the minor parent-lane axis); the color's CV cells are
-    chosen entirely in the index_map (sy row = 2*j + ci, X plane = cj), so
-    no XLA-side color slicing of the CV exists at all.
+    All big arrays stay in the pooled-CV kernel's native CHUNK-MAJOR layout
+    (cells of one parent on the minor parent-lane axis, the parent-chunk
+    dim ahead of the delta dims so a tile's CV block is one contiguous HBM
+    run); the color's CV cells are chosen entirely in the index_map (sy row
+    = 2*j + ci, X plane = cj), so no XLA-side color slicing of the CV
+    exists at all.
     """
-    s2, npp = cv_pm.shape[3], cv_pm.shape[4]
-    grid = (cv_pm.shape[1] // 2, npp // 128)
+    s2, npp = cv_pm.shape[5], cv_pm.shape[2] * 128
+    grid = (cv_pm.shape[0] // 2, npp // 128)
 
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -262,8 +264,8 @@ def windowed_color_step_pm(
         in_specs=[
             pl.BlockSpec((1, 1), lambda j, i, sc: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((side * side, 1, 1, s2, 128),
-                         lambda j, i, sc: (0, 2 * j + sc[1], sc[2], 0, i),
+            pl.BlockSpec((1, 1, 1, side, side, s2, 128),
+                         lambda j, i, sc: (2 * j + sc[1], sc[2], i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, 2, 1, s2, 128), lambda j, i, sc: (0, 0, j, 0, i),
                          memory_space=pltpu.VMEM),

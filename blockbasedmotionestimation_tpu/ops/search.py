@@ -25,6 +25,7 @@ kernel in ``kernels/`` computes the same volume with explicit VMEM residency.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -63,18 +64,60 @@ def extract_blocks(image: jnp.ndarray, bs: int) -> jnp.ndarray:
     )
 
 
-def _gather_windows(
-    im2: jnp.ndarray, by: jnp.ndarray, bx: jnp.ndarray, bs: int, ext: int
-):
-    """Per-block (bs+2S, bs+2S) windows whose top-left is (by, bx) in im2-buffer
-    coords; im2 is padded by S so any center inside the buffer slices cleanly."""
-    im2p = jnp.pad(im2, ((ext, ext), (ext, ext)), constant_values=0)
-    win = bs + 2 * ext
-
+def _gather_windows_impl(im2p, by, bx, win: int):
     def one(y, x):
         return jax.lax.dynamic_slice(im2p, (y, x), (win, win))
 
     return jax.vmap(one)(by, bx)  # (nblk, win, win) uint8
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_windows_fn(bs: int, ext: int):
+    win = bs + 2 * ext
+
+    @jax.custom_batching.custom_vmap
+    def gather(im2, by, bx):
+        im2p = jnp.pad(im2, ((ext, ext), (ext, ext)), constant_values=0)
+        return _gather_windows_impl(im2p, by, bx, win)
+
+    @gather.def_vmap
+    def _rule(axis_size, in_batched, im2, by, bx):
+        imb, byb, bxb = in_batched
+        if not imb:
+            im2 = jnp.broadcast_to(im2, (axis_size,) + im2.shape)
+        if not byb:
+            by = jnp.broadcast_to(by, (axis_size,) + by.shape)
+        if not bxb:
+            bx = jnp.broadcast_to(bx, (axis_size,) + bx.shape)
+        b, h, w = im2.shape
+        im2p = jnp.pad(
+            im2, ((0, 0), (ext, ext), (ext, ext)), constant_values=0
+        )
+        hp = h + 2 * ext
+        flat = im2p.reshape(b * hp, w + 2 * ext)
+        row_off = (jnp.arange(b, dtype=by.dtype) * hp)[:, None]
+        wins = _gather_windows_impl(
+            flat, (by + row_off).reshape(-1), bx.reshape(-1), win
+        )
+        return wins.reshape(b, by.shape[1], win, win), True
+
+    return gather
+
+
+def _gather_windows(
+    im2: jnp.ndarray, by: jnp.ndarray, bx: jnp.ndarray, bs: int, ext: int
+):
+    """Per-block (bs+2S, bs+2S) windows whose top-left is (by, bx) in im2-buffer
+    coords; im2 is padded by S so any center inside the buffer slices cleanly.
+
+    Under vmap (the engine vmaps whole levels over frame pairs) XLA
+    serializes the nested dynamic-slice loop ~10x slower than the unbatched
+    form (33.9 vs ~3 ms for 8x2560 windows at 1280x2048), so the gather
+    carries a custom_vmap rule that stacks the padded frames vertically and
+    performs ONE flat gather with row offsets shifted by b * Hp - windows
+    never cross frame bands because each frame keeps its own ext padding.
+    """
+    return _gather_windows_fn(bs, ext)(im2, by, bx)
 
 
 @partial(jax.jit, static_argnames=("bs", "ss", "full_h", "cost"))

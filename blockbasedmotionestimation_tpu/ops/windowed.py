@@ -141,9 +141,9 @@ def _all_round_cvs_pallas(
     """All subdivision sizes' cost volumes from one Pallas pass.
 
     Returns ``delta_pooled_cvs``'s dict: cur <= bs/2 in the X-parity
-    de-interleaved (side, side, f, 2, f//2, nPad) layout consumed directly
-    by the color-step kernel's index_map; cur == bs unsplit.  The raw
-    (bs, bs) diff maps never touch HBM.
+    de-interleaved CHUNK-MAJOR (f, 2, nPad//128, side, side, f//2, 128)
+    layout consumed directly by the color-step kernel's index_map;
+    cur == bs unsplit.  The raw (bs, bs) diff maps never touch HBM.
     """
     from blockbasedmotionestimation_tpu.kernels.cv_diff import delta_pooled_cvs
 
@@ -161,7 +161,7 @@ _COLORS = ((0, 0), (0, 1), (1, 0), (1, 1))
 
 def _pallas_round_pm(
     grid: jnp.ndarray,        # (nby, nbx, 2) f32 MV grid, nby/nbx even
-    cvq: jnp.ndarray,         # (side, side, f, 2, f//2, nPad) pooled CV
+    cvq: jnp.ndarray,         # (f, 2, nPad//128, side, side, f//2, 128) CV
     parent_mv: jnp.ndarray,   # (npy, npx, 2) i32 parent search MVs
     *,
     bs: int,
@@ -202,7 +202,7 @@ def _pallas_round_pm(
         return jnp.pad(x, pads, constant_values=fill)
 
     rank_table = jnp.asarray(reg._RANK_TABLE)
-    cv_in = cvq.reshape(side * side, f, 2, f // 2, npp)
+    cv_in = cvq  # chunk-major layout consumed as-is by the kernel index_map
     present_pm, rank_pm, oy_cell, ox_cell = [], [], [], []
     syy = jnp.arange(s2, dtype=jnp.int32)
     sxx = jnp.arange(s2, dtype=jnp.int32)
@@ -239,16 +239,9 @@ def _pallas_round_pm(
     ox_cell = jnp.stack(ox_cell)
     pm_lane = padp(parent_mv.transpose(2, 0, 1).reshape(2, n_p).astype(jnp.int32))
 
-    lam_steps, ci_steps, cj_steps = [], [], []
-    for sweep in range(sweeps_per_round):
-        for ci, cj in _COLORS:
-            lam_steps.append(lam * (sweep + 1))
-            ci_steps.append(ci)
-            cj_steps.append(cj)
-    xs = (
-        jnp.asarray(lam_steps, dtype=jnp.float32),
-        jnp.asarray(ci_steps, dtype=jnp.int32),
-        jnp.asarray(cj_steps, dtype=jnp.int32),
+    lam_sweeps = jnp.asarray(
+        [lam * (sweep + 1) for sweep in range(sweeps_per_round)],
+        dtype=jnp.float32,
     )
 
     # The whole round runs on a CELL-LAYOUT grid (2, f, f, nP): neighbor
@@ -265,70 +258,66 @@ def _pallas_round_pm(
         .astype(jnp.int32)
     )
 
+    # The scan runs over SWEEPS with the 4 color steps statically unrolled:
+    # with ci/cj as Python constants the sub-index shifts below are plain
+    # static slices (no lax.switch per candidate: the conds alone measured
+    # ~2 ms/field) and the winner write-back is a static-start update.
     def shift_y(gc, t):
         # rows sy_src = 2*syy + t of the f sy-cells, t in {-1, 0, 1, 2};
         # crossing a parent boundary is a lane roll by +-npx
         gr = gc.reshape(2, s2, 2, f, n_p)
-
-        def t_m1(_):
+        if t == -1:
             top = jnp.roll(gc[:, f - 1], npx, axis=-1)[:, None]
             return jnp.concatenate([top, gr[:, : s2 - 1, 1]], axis=1)
-
-        def t_0(_):
+        if t == 0:
             return gr[:, :, 0]
-
-        def t_1(_):
+        if t == 1:
             return gr[:, :, 1]
-
-        def t_2(_):
-            bot = jnp.roll(gc[:, 0], -npx, axis=-1)[:, None]
-            return jnp.concatenate([gr[:, 1:, 0], bot], axis=1)
-
-        return jax.lax.switch(t + 1, [t_m1, t_0, t_1, t_2], None)
+        bot = jnp.roll(gc[:, 0], -npx, axis=-1)[:, None]
+        return jnp.concatenate([gr[:, 1:, 0], bot], axis=1)
 
     def shift_x(ys, u):
         # cols sx_src = 2*sxx + u; parent crossing is a lane roll by +-1
         gr = ys.reshape(2, s2, s2, 2, n_p)
-
-        def u_m1(_):
+        if u == -1:
             left = jnp.roll(ys[:, :, f - 1], 1, axis=-1)[:, :, None]
             return jnp.concatenate([left, gr[:, :, : s2 - 1, 1]], axis=2)
-
-        def u_0(_):
+        if u == 0:
             return gr[:, :, :, 0]
-
-        def u_1(_):
+        if u == 1:
             return gr[:, :, :, 1]
+        right = jnp.roll(ys[:, :, 0], -1, axis=-1)[:, :, None]
+        return jnp.concatenate([gr[:, :, 1:, 0], right], axis=2)
 
-        def u_2(_):
-            right = jnp.roll(ys[:, :, 0], -1, axis=-1)[:, :, None]
-            return jnp.concatenate([gr[:, :, 1:, 0], right], axis=2)
+    def sweep_body(gc, lam_mult):
+        for ci, cj in _COLORS:
+            ys_by_dy = {dy: shift_y(gc, ci + dy) for dy in (-1, 0, 1)}
+            cands = jnp.stack(
+                [shift_x(ys_by_dy[dy], cj + dx) for dy, dx in reg.SLOTS],
+                axis=0,
+            )  # (9, 2, s2, s2, nP)
+            cands = padp(cands)
+            sc = jnp.stack(
+                [
+                    jnp.asarray(2 * ci + cj, jnp.int32),
+                    jnp.asarray(ci, jnp.int32),
+                    jnp.asarray(cj, jnp.int32),
+                    jnp.asarray(row0_b, jnp.int32),
+                ]
+            )
+            new_mv = windowed_color_step_pm(
+                sc, lam_mult, cv_in, cands, pm_lane, present_pm, rank_pm,
+                oy_cell, ox_cell, side, r, cur, h, w, interpret=interp,
+            )
+            nm = new_mv[..., :n_p]  # (2, s2, s2, nP)
+            grc = gc.reshape(2, s2, 2, s2, 2, n_p)
+            grc = jax.lax.dynamic_update_slice(
+                grc, nm[:, :, None, :, None, :], (0, 0, ci, 0, cj, 0)
+            )
+            gc = grc.reshape(2, f, f, n_p)
+        return gc, None
 
-        return jax.lax.switch(u + 1, [u_m1, u_0, u_1, u_2], None)
-
-    def body(gc, x):
-        lam_mult, ci, cj = x
-        ys_by_dy = {dy: shift_y(gc, ci + dy) for dy in (-1, 0, 1)}
-        cands = jnp.stack(
-            [shift_x(ys_by_dy[dy], cj + dx) for dy, dx in reg.SLOTS],
-            axis=0,
-        )  # (9, 2, s2, s2, nP)
-        cands = padp(cands)
-        sc = jnp.stack(
-            [2 * ci + cj, ci, cj, jnp.asarray(row0_b, jnp.int32)]
-        ).astype(jnp.int32)
-        new_mv = windowed_color_step_pm(
-            sc, lam_mult, cv_in, cands, pm_lane, present_pm, rank_pm,
-            oy_cell, ox_cell, side, r, cur, h, w, interpret=interp,
-        )
-        nm = new_mv[..., :n_p]  # (2, s2, s2, nP)
-        grc = gc.reshape(2, s2, 2, s2, 2, n_p)
-        grc = jax.lax.dynamic_update_slice(
-            grc, nm[:, :, None, :, None, :], (0, 0, ci, 0, cj, 0)
-        )
-        return grc.reshape(2, f, f, n_p), None
-
-    gcell, _ = jax.lax.scan(body, gcell, xs)
+    gcell, _ = jax.lax.scan(sweep_body, gcell, lam_sweeps)
     return (
         gcell.reshape(2, f, f, npy, npx)
         .transpose(3, 1, 4, 2, 0)
@@ -386,11 +375,12 @@ def _pallas_round(
     rank_table = jnp.asarray(reg._RANK_TABLE)
     cv_colors, pm_colors, present_colors, rank_colors = [], [], [], []
     if f >= 2:
-        # pooled CVs arrive X-parity de-interleaved (sy, bx, sxx); restore
-        # the plain (sy, sx) cell order for the slab path
-        n_pad = cvq.shape[-1]
+        # pooled CVs arrive X-parity de-interleaved and chunk-major
+        # (f, 2, nch, side, side, f//2, 128); restore the plain
+        # (side, side, sy, sx, nP) order for the slab path
+        n_pad = cvq.shape[2] * 128
         cvq = (
-            cvq.transpose(0, 1, 2, 4, 3, 5)
+            cvq.transpose(3, 4, 0, 5, 1, 2, 6)
             .reshape(side, side, f, f, n_pad)[..., : npy * npx]
         )
     if f == 1:
@@ -430,44 +420,46 @@ def _pallas_round(
     present_colors = jnp.stack(present_colors)
     rank_colors = jnp.stack(rank_colors)
 
-    lam_steps, ci_steps, cj_steps = [], [], []
-    for sweep in range(sweeps_per_round):
-        for ci, cj in _COLORS:
-            lam_steps.append(lam * (sweep + 1))
-            ci_steps.append(ci)
-            cj_steps.append(cj)
-    xs = (
-        jnp.asarray(lam_steps, dtype=jnp.float32),
-        jnp.asarray(ci_steps, dtype=jnp.int32),
-        jnp.asarray(cj_steps, dtype=jnp.int32),
+    lam_sweeps = jnp.asarray(
+        [lam * (sweep + 1) for sweep in range(sweeps_per_round)],
+        dtype=jnp.float32,
     )
 
-    def body(g, x):
-        lam_mult, ci, cj = x
-        gp = make_gp(g)
-        cands = []
-        for dy, dx in reg.SLOTS:
-            sub = jax.lax.dynamic_slice(
-                gp, (ci + dy + 1, cj + dx + 1, 0), (nby2, nbx2, 2)
+    # scan over SWEEPS, colors statically unrolled (static slice starts and
+    # write-backs; see _pallas_round_pm)
+    def sweep_body(g, lam_mult):
+        for ci, cj in _COLORS:
+            gp = make_gp(g)
+            cands = []
+            for dy, dx in reg.SLOTS:
+                sub = gp[
+                    ci + dy + 1 : ci + dy + 1 + nby2,
+                    cj + dx + 1 : cj + dx + 1 + nbx2,
+                ]
+                cands.append(sub[::2, ::2])
+            cands = jnp.stack(cands, axis=0).astype(jnp.int32)  # (9, m2, n2, 2)
+            cands = pad2(cands.transpose(0, 3, 1, 2))           # (9, 2, m2p, n2p)
+            sc = jnp.stack(
+                [
+                    jnp.asarray(2 * ci + cj, jnp.int32),
+                    jnp.asarray(ci, jnp.int32),
+                    jnp.asarray(cj, jnp.int32),
+                    jnp.asarray(row0_b, jnp.int32),
+                ]
             )
-            cands.append(sub[::2, ::2])
-        cands = jnp.stack(cands, axis=0).astype(jnp.int32)  # (9, m2, n2, 2)
-        cands = pad2(cands.transpose(0, 3, 1, 2))           # (9, 2, m2p, n2p)
-        sc = jnp.stack(
-            [2 * ci + cj, ci, cj, jnp.asarray(row0_b, jnp.int32)]
-        ).astype(jnp.int32)
-        new_mv = windowed_color_step(
-            sc, lam_mult, cv_colors, cands, pm_colors, present_colors,
-            rank_colors, side, r, cur, h, w, interpret=interp,
-        )
-        nm = new_mv[:, :m2, :n2].transpose(1, 2, 0).astype(jnp.float32)
-        gr = g.reshape(m2, 2, n2, 2, 2)
-        gr = jax.lax.dynamic_update_slice(
-            gr, nm[:, None, :, None, :], (0, ci, 0, cj, 0)
-        )
-        return gr.reshape(nby2, nbx2, 2), None
+            new_mv = windowed_color_step(
+                sc, lam_mult, cv_colors, cands, pm_colors, present_colors,
+                rank_colors, side, r, cur, h, w, interpret=interp,
+            )
+            nm = new_mv[:, :m2, :n2].transpose(1, 2, 0).astype(jnp.float32)
+            gr = g.reshape(m2, 2, n2, 2, 2)
+            gr = jax.lax.dynamic_update_slice(
+                gr, nm[:, None, :, None, :], (0, ci, 0, cj, 0)
+            )
+            g = gr.reshape(nby2, nbx2, 2)
+        return g, None
 
-    grid, _ = jax.lax.scan(body, grid, xs)
+    grid, _ = jax.lax.scan(sweep_body, grid, lam_sweeps)
     if pad_r or pad_c:
         grid = grid[:nby, :nbx]
     return grid
