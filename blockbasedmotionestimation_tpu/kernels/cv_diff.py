@@ -197,11 +197,13 @@ def _diff_kernel_static(patches_ref, wplanes_ref, o2_ref, o4_ref, *, bs, ext,
                 acc = d if acc is None else acc + d
             halves.append(acc.reshape(s2, 2, q4, cb).sum(axis=1))
         for bx in range(2):
-            o2_ref[:, bx, 0, 0, dx] = halves[bx].astype(dt2)
+            # y-parity split on the leading dim is free
+            hr = halves[bx].reshape(s2 // 2, 2, q4, cb)
+            o2_ref[:, :, bx, 0, 0, dx] = hr.astype(dt2)
         pool4 = (halves[0] + halves[1]).reshape(q4, 2, q4, cb).sum(axis=1)
-        ps = pool4.reshape(q4, q4 // 2, 2, cb)
+        pr = pool4.reshape(q4 // 2, 2, q4 // 2, 2, cb)
         for bx in range(2):
-            o4_ref[:, bx, 0, 0, dx] = ps[:, :, bx].astype(dt4)
+            o4_ref[:, :, bx, 0, 0, dx] = pr[:, :, :, bx].astype(dt4)
 
 
 def _tail_kernel_static(cv4_ref, *out_refs, bs):
@@ -215,21 +217,24 @@ def _tail_kernel_static(cv4_ref, *out_refs, bs):
     every element per stage (measured ~2x slower end to end), and doing it
     in XLA over the HBM-resident volume costs 10+ ms in strided slices.
     """
-    c = cv4_ref[:, :, 0, 0].astype(jnp.int32)  # (s, 2, side, s//2, cb)
-    s, side, cb = c.shape[0], c.shape[2], c.shape[-1]
-    e, o = c[:, 0], c[:, 1]           # (s, side, s//2, cb) x-parity planes
+    # block (s//2, 2, 2, 1, 1, side, s//2, cb): (yq, yp, bx, ., ., dx, xq, cb)
+    c = cv4_ref[:, :, :, 0, 0].astype(jnp.int32)
+    s2h, side, cb = c.shape[0], c.shape[3], c.shape[-1]
+    s = 2 * s2h
     cur, k = 4, 0
     while cur < bs:
-        a = e + o                                   # x-pair merge
-        ar = a.reshape(s // 2, 2, side, s // 2, cb)
-        b = ar[:, 0] + ar[:, 1]                     # y-pair merge
+        a = c[:, :, 0] + c[:, :, 1]     # x-pair merge: (yq, yp, side, xq, cb)
+        b = a[:, 0] + a[:, 1]           # y-pair merge: (s//2, side, s//2, cb)
         cur, s = cur * 2, s // 2
         dt = out_refs[k].dtype
         if cur < bs:
-            cr = b.reshape(s, side, s // 2, 2, cb)  # sublane re-split
-            e, o = cr[:, :, :, 0], cr[:, :, :, 1]
-            out_refs[k][:, 0, 0, 0] = e.astype(dt)
-            out_refs[k][:, 1, 0, 0] = o.astype(dt)
+            # re-split: y on the leading dims (free), x on sublanes
+            xr = b.reshape(s // 2, 2, side, s // 2, 2, cb)
+            for bx in range(2):
+                out_refs[k][:, :, bx, 0, 0] = xr[:, :, :, :, bx].astype(dt)
+            c = jnp.stack(
+                [xr[:, :, :, :, 0], xr[:, :, :, :, 1]], axis=2
+            )
         else:  # cur == bs: legacy unsplit (side, side, 1, 1, n) layout
             out_refs[k][0] = b.reshape(side, 1, 1, cb).astype(dt)
         k += 1
@@ -254,12 +259,15 @@ def delta_pooled_cvs(
 ) -> dict[int, jnp.ndarray]:
     """Pooled cost volumes per sub-block size, s = bs // cur.
 
-    cur <= bs/2: CHUNK-MAJOR split layout (s, 2, nPad//128, side, side,
-    s//2, 128) - the X parity de-interleaved so a color plane is pure index
-    arithmetic downstream, and the parent-chunk dim hoisted ahead of the
-    delta dims so one color-step tile's CV block is a CONTIGUOUS HBM run
-    (the old nP-minor layout DMA'd every volume in 256-byte strided chunks
-    on both the write and the read side);
+    cur <= bs/2: CHUNK-MAJOR split layout
+    (s//2, 2, 2, nPad//128, side, side, s//2, 128) = (yq, yp, bx, chunk,
+    side, side, xq, lane) with cell y = 2*yq + yp and x = 2*xq + bx - BOTH
+    cell parities de-interleaved so a color plane is pure index arithmetic
+    downstream AND the color-step kernel can take multiple sy rows per tile
+    (consecutive yq), and the parent-chunk dim hoisted ahead of the delta
+    dims so one color-step tile's CV block is a CONTIGUOUS HBM run (the old
+    nP-minor layout DMA'd every volume in 256-byte strided chunks on both
+    the write and the read side);
     cur == bs: (side, side, 1, 1, nPad) unsplit.  nPad = nP rounded up to
     the lane-chunk multiple.
 
@@ -319,19 +327,21 @@ def delta_pooled_cvs(
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((s2, 2, 1, 1, side, s2 // 2, cb),
-                             lambda i, j: (0, 0, i, j, 0, 0, 0),
+                pl.BlockSpec((s2 // 2, 2, 2, 1, 1, side, s2 // 2, cb),
+                             lambda i, j: (0, 0, 0, i, j, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((q4, 2, 1, 1, side, q4 // 2, cb),
-                             lambda i, j: (0, 0, i, j, 0, 0, 0),
+                pl.BlockSpec((q4 // 2, 2, 2, 1, 1, side, q4 // 2, cb),
+                             lambda i, j: (0, 0, 0, i, j, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct(
-                    (s2, 2, nch, side, side, s2 // 2, cb), cv_dtype(2, cost)
+                    (s2 // 2, 2, 2, nch, side, side, s2 // 2, cb),
+                    cv_dtype(2, cost),
                 ),
                 jax.ShapeDtypeStruct(
-                    (q4, 2, nch, side, side, q4 // 2, cb), cv_dtype(4, cost)
+                    (q4 // 2, 2, 2, nch, side, side, q4 // 2, cb),
+                    cv_dtype(4, cost),
                 ),
             ],
             compiler_params=params,
@@ -345,14 +355,14 @@ def delta_pooled_cvs(
                 if c <= bs // 2:
                     out_shapes.append(
                         jax.ShapeDtypeStruct(
-                            (s, 2, nch, side, side, s // 2, cb),
+                            (s // 2, 2, 2, nch, side, side, s // 2, cb),
                             cv_dtype(c, cost),
                         )
                     )
                     out_specs.append(
                         pl.BlockSpec(
-                            (s, 2, 1, 1, side, s // 2, cb),
-                            lambda i, j: (0, 0, i, j, 0, 0, 0),
+                            (s // 2, 2, 2, 1, 1, side, s // 2, cb),
+                            lambda i, j: (0, 0, 0, i, j, 0, 0, 0),
                             memory_space=pltpu.VMEM,
                         )
                     )
@@ -373,8 +383,8 @@ def delta_pooled_cvs(
                 functools.partial(_tail_kernel_static, bs=bs),
                 grid=(nch, side),
                 in_specs=[
-                    pl.BlockSpec((q4, 2, 1, 1, side, q4 // 2, cb),
-                                 lambda i, j: (0, 0, i, j, 0, 0, 0),
+                    pl.BlockSpec((q4 // 2, 2, 2, 1, 1, side, q4 // 2, cb),
+                                 lambda i, j: (0, 0, 0, i, j, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
                 ],
                 out_specs=out_specs,
@@ -450,7 +460,7 @@ def delta_pooled_cvs(
     for c, out in zip(curs, outs):
         if c <= bs // 2:
             s = bs // c
-            out = out.reshape(side, side, s, 2, s // 2, n // cb, cb)
-            out = out.transpose(2, 3, 5, 0, 1, 4, 6)
+            out = out.reshape(side, side, s // 2, 2, 2, s // 2, n // cb, cb)
+            out = out.transpose(2, 3, 4, 6, 0, 1, 5, 7)
         cvs[c] = out
     return cvs

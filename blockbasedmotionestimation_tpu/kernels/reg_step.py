@@ -130,15 +130,15 @@ def _kernel(
 def _kernel_pm(
     sc_ref,        # (4,) i32 prefetch: [color, ci, cj, row0_b] (unused here)
     lam_ref,       # (1, 1) f32 SMEM
-    cv_ref,        # (1, 1, 1, side, side, s2, 128): this color's CV cells
-    cands_ref,     # (9, 2, 1, s2, 128) i32
+    cv_ref,        # (R, 1, 1, 1, side, side, s2, 128): color CV, R sy rows
+    cands_ref,     # (9, 2, R, s2, 128) i32
     pm_ref,        # (2, 128) i32 parent search MVs
-    present_ref,   # (1, 9, 1, s2, 128) i32
-    rank_ref,      # (1, 9, 1, s2, 128) i32
-    oy_ref,        # (1, 1, 1, 128) i32: cur * global block row of this cell row
+    present_ref,   # (1, 9, R, s2, 128) i32
+    rank_ref,      # (1, 9, R, s2, 128) i32
+    oy_ref,        # (1, R, 1, 128) i32: cur * global block row per cell row
     ox_ref,        # (1, s2, 128) i32: cur * global block col per cell col
-    out_ref,       # (2, 1, s2, 128) i32
-    acc_ref,       # scratch (9, s2, 128) i32
+    out_ref,       # (2, R, s2, 128) i32
+    acc_ref,       # scratch (9, R, s2, 128) i32
     *,
     side: int,
     r: int,
@@ -146,16 +146,16 @@ def _kernel_pm(
     full_h: int,
     full_w: int,
 ):
-    s2, nt = out_ref.shape[2], out_ref.shape[3]
-    cands = cands_ref[:, :, 0]                 # (9, 2, s2, nt)
-    cx, cy = cands[:, 0], cands[:, 1]          # (9, s2, nt)
+    rr, s2, nt = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
+    cands = cands_ref[...]                     # (9, 2, R, s2, nt)
+    cx, cy = cands[:, 0], cands[:, 1]          # (9, R, s2, nt)
     pm = pm_ref[...]                           # (2, nt)
-    present = present_ref[0, :, 0]             # (9, s2, nt)
-    rank = rank_ref[0, :, 0]
+    present = present_ref[0]                   # (9, R, s2, nt)
+    rank = rank_ref[0]
     lam = lam_ref[0, 0]
 
-    ddx = cx - pm[0][None, None]
-    ddy = cy - pm[1][None, None]
+    ddx = cx - pm[0][None, None, None]
+    ddy = cy - pm[1][None, None, None]
     in_window = (ddx >= -r) & (ddx <= r) & (ddy >= -r) & (ddy <= r)
     key = jnp.where(in_window, (ddy + r) * side + (ddx + r), -1)
 
@@ -172,12 +172,12 @@ def _kernel_pm(
     ymax = jnp.max(jnp.where(bound_on, ddy, -big))
     xmin = jnp.min(jnp.where(bound_on, ddx, big))
     xmax = jnp.max(jnp.where(bound_on, ddx, -big))
-    acc_ref[...] = jnp.zeros((9, s2, nt), jnp.int32)
+    acc_ref[...] = jnp.zeros((9, rr, s2, nt), jnp.int32)
 
     def pick_row(dy, _):
         def pick_col(dx, __):
             s = (dy + r) * side + (dx + r)
-            v = cv_ref[0, 0, 0, dy + r, dx + r].astype(jnp.int32)  # (s2, nt)
+            v = cv_ref[:, 0, 0, 0, dy + r, dx + r].astype(jnp.int32)
             acc_ref[...] = jnp.where(key == s, v[None], acc_ref[...])
             return 0
 
@@ -187,13 +187,13 @@ def _kernel_pm(
     jax.lax.fori_loop(ymin, ymax + 1, pick_row, 0)
     costs = acc_ref[...]
 
-    smooth = jnp.zeros((9, s2, nt), jnp.int32)
+    smooth = jnp.zeros((9, rr, s2, nt), jnp.int32)
     for j in range(9):
         d = jnp.abs(cx - cx[j][None]) + jnp.abs(cy - cy[j][None])
         smooth = smooth + jnp.where(present[j][None] != 0, d, 0)
 
-    tx = ox_ref[0][None] + cx                  # (9, s2, nt)
-    ty = oy_ref[0, 0, 0][None, None] + cy
+    tx = ox_ref[0][None, None] + cx            # (9, R, s2, nt)
+    ty = oy_ref[0][None] + cy                  # (1,R,1,nt)+(9,R,s2,nt)
     in_img = (
         (tx >= 0) & (tx <= full_w - cur) & (ty >= 0) & (ty <= full_h - cur)
     )
@@ -210,7 +210,7 @@ def _kernel_pm(
         e_min = jnp.minimum(e_min, energy[k])
     rank_sel = jnp.where(energy == e_min[None], rank, _BIG_RANK)
     best_r = rank_sel[0]
-    win = jnp.zeros((s2, nt), jnp.int32)
+    win = jnp.zeros((rr, s2, nt), jnp.int32)
     for k in range(1, 9):
         better = rank_sel[k] < best_r
         best_r = jnp.where(better, rank_sel[k], best_r)
@@ -221,8 +221,8 @@ def _kernel_pm(
     for k in range(1, 9):
         new_x = jnp.where(win == k, cx[k], new_x)
         new_y = jnp.where(win == k, cy[k], new_y)
-    out_ref[0, 0] = new_x
-    out_ref[1, 0] = new_y
+    out_ref[0] = new_x
+    out_ref[1] = new_y
 
 
 @functools.partial(
@@ -232,7 +232,7 @@ def _kernel_pm(
 def windowed_color_step_pm(
     scalars: jnp.ndarray,         # (4,) i32 [color, ci, cj, row0_b]
     lam_mult: jnp.ndarray,        # f32 scalar
-    cv_pm: jnp.ndarray,           # (f, 2, nPp//128, side, side, s2, 128)
+    cv_pm: jnp.ndarray,           # (f//2, 2, 2, nPp//128, side, side, s2, 128)
     cands_pm: jnp.ndarray,        # (9, 2, s2, s2, nPp) i32
     pm_lane: jnp.ndarray,         # (2, nPp) i32
     present_pm: jnp.ndarray,      # (4, 9, s2, s2, nPp) i32
@@ -251,12 +251,19 @@ def windowed_color_step_pm(
     All big arrays stay in the pooled-CV kernel's native CHUNK-MAJOR layout
     (cells of one parent on the minor parent-lane axis, the parent-chunk
     dim ahead of the delta dims so a tile's CV block is one contiguous HBM
-    run); the color's CV cells are chosen entirely in the index_map (sy row
-    = 2*j + ci, X plane = cj), so no XLA-side color slicing of the CV
-    exists at all.
+    run); the color's CV cells are chosen entirely in the index_map (sy-row
+    parity plane ci, X plane cj), so no XLA-side color slicing of the CV
+    exists at all.  Tiles take R consecutive sy rows at once - the fixed
+    per-tile cost (~5 us: grid bookkeeping, DMA setup, bbox scalar prologue)
+    dominated single-row tiles at the finer rounds.
     """
-    s2, npp = cv_pm.shape[5], cv_pm.shape[2] * 128
-    grid = (cv_pm.shape[0] // 2, npp // 128)
+    s2, npp = cv_pm.shape[6], cv_pm.shape[3] * 128
+    syq = cv_pm.shape[0]
+    cv_row_bytes = side * side * s2 * 128 * cv_pm.dtype.itemsize
+    rows = syq
+    while rows > 1 and rows * cv_row_bytes > 10 * 1024 * 1024:
+        rows //= 2
+    grid = (syq // rows, npp // 128)
 
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -264,29 +271,30 @@ def windowed_color_step_pm(
         in_specs=[
             pl.BlockSpec((1, 1), lambda j, i, sc: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, side, side, s2, 128),
-                         lambda j, i, sc: (2 * j + sc[1], sc[2], i, 0, 0, 0, 0),
+            pl.BlockSpec((rows, 1, 1, 1, side, side, s2, 128),
+                         lambda j, i, sc: (j, sc[1], sc[2], i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, 2, 1, s2, 128), lambda j, i, sc: (0, 0, j, 0, i),
+            pl.BlockSpec((9, 2, rows, s2, 128),
+                         lambda j, i, sc: (0, 0, j, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda j, i, sc: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, 1, s2, 128),
+            pl.BlockSpec((1, 9, rows, s2, 128),
                          lambda j, i, sc: (sc[0], 0, j, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, 1, s2, 128),
+            pl.BlockSpec((1, 9, rows, s2, 128),
                          lambda j, i, sc: (sc[0], 0, j, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 128), lambda j, i, sc: (sc[0], j, 0, i),
+            pl.BlockSpec((1, rows, 1, 128), lambda j, i, sc: (sc[0], j, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s2, 128), lambda j, i, sc: (sc[0], 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (2, 1, s2, 128), lambda j, i, sc: (0, j, 0, i),
+            (2, rows, s2, 128), lambda j, i, sc: (0, j, 0, i),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((9, s2, 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((9, rows, s2, 128), jnp.int32)],
     )
     return pl.pallas_call(
         functools.partial(
@@ -294,6 +302,9 @@ def windowed_color_step_pm(
         ),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((2, s2, s2, npp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(scalars, jnp.reshape(lam_mult.astype(jnp.float32), (1, 1)), cv_pm,
       cands_pm, pm_lane, present_pm, rank_pm, oy_cell, ox_cell)

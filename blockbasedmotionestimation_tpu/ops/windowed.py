@@ -141,7 +141,8 @@ def _all_round_cvs_pallas(
     """All subdivision sizes' cost volumes from one Pallas pass.
 
     Returns ``delta_pooled_cvs``'s dict: cur <= bs/2 in the X-parity
-    de-interleaved CHUNK-MAJOR (f, 2, nPad//128, side, side, f//2, 128)
+    de-interleaved CHUNK-MAJOR (f//2, 2, 2, nPad//128, side, side, f//2,
+    128)
     layout consumed directly by the color-step kernel's index_map;
     cur == bs unsplit.  The raw (bs, bs) diff maps never touch HBM.
     """
@@ -161,7 +162,7 @@ _COLORS = ((0, 0), (0, 1), (1, 0), (1, 1))
 
 def _pallas_round_pm(
     grid: jnp.ndarray,        # (nby, nbx, 2) f32 MV grid, nby/nbx even
-    cvq: jnp.ndarray,         # (f, 2, nPad//128, side, side, f//2, 128) CV
+    cvq: jnp.ndarray,         # (f//2, 2, 2, nch, side, side, f//2, 128) CV
     parent_mv: jnp.ndarray,   # (npy, npx, 2) i32 parent search MVs
     *,
     bs: int,
@@ -375,12 +376,12 @@ def _pallas_round(
     rank_table = jnp.asarray(reg._RANK_TABLE)
     cv_colors, pm_colors, present_colors, rank_colors = [], [], [], []
     if f >= 2:
-        # pooled CVs arrive X-parity de-interleaved and chunk-major
-        # (f, 2, nch, side, side, f//2, 128); restore the plain
+        # pooled CVs arrive parity-de-interleaved and chunk-major
+        # (f//2, 2, 2, nch, side, side, f//2, 128); restore the plain
         # (side, side, sy, sx, nP) order for the slab path
-        n_pad = cvq.shape[2] * 128
+        n_pad = cvq.shape[3] * 128
         cvq = (
-            cvq.transpose(3, 4, 0, 5, 1, 2, 6)
+            cvq.transpose(4, 5, 0, 1, 6, 2, 3, 7)
             .reshape(side, side, f, f, n_pad)[..., : npy * npx]
         )
     if f == 1:
