@@ -136,9 +136,8 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
                 full_h=full_h, row0=row0, im2_row0=im2_row0, make_gp=make_gp,
                 impl=cfg.search_impl,
             )
-        mode = cfg.regularizer if cfg.regularizer != "exact" else "fourcolor"
         return reg.run_schedule(
-            im1_t, im2_buf, grid, bs, lam0, cfg.sweeps_per_round, mode,
+            im1_t, im2_buf, grid, bs, lam0, cfg.sweeps_per_round, cfg.regularizer,
             full_h=full_h, row0=row0, im2_row0=im2_row0, make_gp=make_gp,
             cost=cfg.cost,
         )
@@ -164,11 +163,17 @@ def estimate_flow_padded_tiled(
 ) -> jnp.ndarray:
     """Row-tiled, halo-exchanged engine on pre-padded frames.
 
-    Bit-identical to ``engine.estimate_flow_padded`` in fourcolor/jacobi modes
-    ("exact" falls back to fourcolor here - the raster sweep does not
-    decompose across tiles).  Returns the dense (H', W', 2) flow, sharded by
-    rows over `axis`.
+    Bit-identical to ``engine.estimate_flow_padded`` in fourcolor/jacobi/
+    windowed modes.  "exact" (whole-frame raster Gauss-Seidel) does not
+    decompose across tiles and is rejected explicitly rather than silently
+    degraded.  Returns the dense (H', W', 2) flow, sharded by rows over
+    `axis`.
     """
+    if cfg.regularizer == "exact":
+        raise ValueError(
+            "regularizer='exact' is a whole-frame raster sweep and cannot be "
+            "row-tiled; use estimate_flow_padded, or fourcolor/windowed here"
+        )
     t = mesh.shape[axis]
     levels = cfg.num_levels
     pyr1 = resample.build_pyramid(im1p, levels)
