@@ -60,6 +60,13 @@ class MotionConfig:
       search_order: ``spiral`` is the reference's live path
         (``motion_framework.cpp:296-422``); ``raster`` is its exhaustive
         variant with the closest-to-source tie-break (``:246-294``).
+      rival_window: ``windowed`` mode only.  Gather a SECOND frame-2 window
+        per parent, centered on its most-different 8-neighbor search MV, and
+        evaluate candidates outside the primary window against it.  Closes
+        the windowed-vs-fourcolor accuracy gap at motion discontinuities
+        (where a neighbor's correct MV exceeds the primary radius R and
+        could otherwise never be adopted) at the cost of a second window
+        gather + cost volume.  See ``ops.windowed`` module docstring.
       window_center: ``windowed`` mode only.  ``pred`` (default) centers the
         per-parent windows on the truncated prediction - the spiral search's
         own center (``motion_framework.cpp:233-234``) - so ONE pooled
@@ -83,6 +90,7 @@ class MotionConfig:
     search_order: SearchOrder = "spiral"
     reg_radius: int | None = None
     window_center: Literal["pred", "search"] = "pred"
+    rival_window: bool = False
 
     def __post_init__(self) -> None:
         if len(self.block_sizes) != len(self.search_sizes):

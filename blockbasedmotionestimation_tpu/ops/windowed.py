@@ -25,6 +25,18 @@ candidate whose delta exceeds R is excluded (energy FLT_MAX) instead of
 evaluated.  Since every update adopts an evaluated candidate, all MVs stay
 within parent-MV +- R, so the window always covers every evaluated target.
 When no candidate exceeds R the result is bit-identical to ``fourcolor``.
+
+Rival windows (``rival_window=True``): the exclusion bites at motion
+discontinuities, where a neighbor's (correct) MV differs from the parent's
+window center by more than R and can never be adopted (measured as the
+windowed-vs-fourcolor EPE gap on Urban2/Urban3).  Each parent then gathers a
+SECOND window centered on its most-different 8-neighbor search MV (the local
+"rival" motion mode), and a candidate is evaluable if it lands in either
+window; costs agree wherever the windows overlap because both read the same
+absolute frame-2 pixels.  At a two-motion discontinuity both modes are
+addressable on every parent along it, so adoption waves propagate exactly as
+in ``fourcolor``; junctions of 3+ motions degrade to the single-window
+behavior.  The adopted-MV invariant becomes: MV in (base +- R) U (rival +- R).
 """
 
 from __future__ import annotations
@@ -46,6 +58,44 @@ def _cv_dtype(cur: int, cost: str):
     """Smallest dtype holding a worst-case block cost at sub-block size cur."""
     peak = (255 * 255 if cost == "ssd" else 255) * cur * cur
     return jnp.uint16 if peak < (1 << 16) else jnp.int32
+
+
+def _pick_rival(
+    vals: jnp.ndarray, base: jnp.ndarray, r: int, radius: int = 1
+) -> jnp.ndarray:
+    """Each parent's rival window center: the local foreign motion mode.
+
+    vals: (npy, npx, 2) i32 integer search-winner MVs (the values neighbors
+    will offer as candidates); base: (npy, npx, 2) i32 window-center MVs the
+    primary in-window test rebases against.  Picks, per parent, the neighbor
+    winner that COVERS the most neighbors excluded by the primary window
+    (excluded: Linf(val_k - base) > r; covered: Linf(val_k - val_j) <= r) -
+    i.e. the alternative center rescuing the most otherwise-unevaluable
+    candidates.  A plain most-different pick fails when two wrong values
+    straddle the base: it picks the wronger one and the true mode stays
+    excluded.  Parents with no excluded neighbors keep base (a no-op rival).
+    Ties resolve to the first neighbor in raster order.
+    """
+    npy, npx = vals.shape[:2]
+    offs = [
+        (dy, dx)
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+        if (dy, dx) != (0, 0)
+    ]
+    vp = jnp.pad(vals, ((radius, radius), (radius, radius), (0, 0)), mode="edge")
+    neigh = jnp.stack(
+        [
+            vp[radius + dy : radius + dy + npy, radius + dx : radius + dx + npx]
+            for dy, dx in offs
+        ]
+    )  # (K, npy, npx, 2)
+    excl = jnp.abs(neigh - base[None]).max(axis=-1) > r  # (K, npy, npx)
+    d = jnp.abs(neigh[:, None] - neigh[None, :]).max(axis=-1)  # (k, j, npy, npx)
+    score = ((d <= r) & excl[:, None]).sum(axis=0)  # (j, npy, npx)
+    j = jnp.argmax(score, axis=0)
+    rival = jnp.take_along_axis(neigh, j[None, ..., None], axis=0)[0]
+    return jnp.where((jnp.max(score, axis=0) > 0)[..., None], rival, base)
 
 
 def _compute_cv(
@@ -482,6 +532,7 @@ def windowed_schedule(
     im2_row0: jnp.ndarray | int = 0,
     make_gp=None,
     impl: str = "xla",
+    rival: bool = False,
 ) -> jnp.ndarray:
     """The per-level regularization schedule on window-resident data.
 
@@ -518,8 +569,20 @@ def windowed_schedule(
         im1.reshape(npy, bs, npx, bs).transpose(0, 2, 1, 3).astype(jnp.int16)
     )
 
+    rwindows = rbase = None
+    if rival:
+        rmv = _pick_rival(parent_mv, parent_mv, r)
+        rvy = jnp.clip((oy + rmv[..., 1]) - im2_row0, 0, im2.shape[0] - bs)
+        rvx = jnp.clip(ox + rmv[..., 0], 0, w - bs)
+        rwindows = (
+            _gather_windows(im2, rvy.reshape(-1), rvx.reshape(-1), bs, ext)
+            .astype(jnp.int16)
+            .reshape(npy, npx, bs + 2 * ext, bs + 2 * ext)
+        )
+        rbase = jnp.stack([rvx - ox, (rvy + im2_row0) - oy], axis=-1)
+
     impl = _resolve_impl(impl)
-    if impl in ("pallas", "pallas_interpret"):
+    if impl in ("pallas", "pallas_interpret") and not rival:
         cvs_pallas = _all_round_cvs_pallas(
             patches1, windows, bs, ext, r, cost,
             interpret=(impl == "pallas_interpret"),
@@ -530,6 +593,7 @@ def windowed_schedule(
     return _rounds_loop(
         patches1, windows, grid0, parent_mv, bs, ext, r, cost, h, w, row0,
         make_gp, lam0, sweeps_per_round, impl, untiled, cvs_pallas,
+        rwindows=rwindows, rbase=rbase,
     )
 
 
@@ -551,12 +615,16 @@ def _rounds_loop(
     impl: str,
     untiled: bool,
     cvs_pallas: dict[int, jnp.ndarray] | None,
+    rwindows: jnp.ndarray | None = None,
+    rbase: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """The subdivision rounds of the windowed schedule (see module docstring).
 
     Candidate deltas are rebased against ``parent_mv`` - whatever MV the
     windows were centered on (the search winner in ``windowed_schedule``, the
-    truncated prediction in ``windowed_level``).
+    truncated prediction in ``windowed_level``).  With ``rwindows``/``rbase``
+    (rival windows, see module docstring) a candidate outside the primary
+    window is evaluated against the rival window when it lands there.
     """
     from blockbasedmotionestimation_tpu.models.engine import subdivide
 
@@ -589,12 +657,18 @@ def _rounds_loop(
             continue
         cv = _compute_cv(patches1, windows, bs, cur, ext, r, cost)  # (side^2, nby, nbx)
         pm = jnp.repeat(jnp.repeat(parent_mv, f, axis=0), f, axis=1)  # (nby, nbx, 2)
+        if rwindows is not None:
+            rcv = _compute_cv(patches1, rwindows, bs, cur, ext, r, cost)
+            rpm = jnp.repeat(jnp.repeat(rbase, f, axis=0), f, axis=1)
 
         pad_r, pad_c = nby % 2, nbx % 2
         if pad_r or pad_c:
             grid = jnp.pad(grid, ((0, pad_r), (0, pad_c), (0, 0)))
             cv = jnp.pad(cv, ((0, 0), (0, pad_r), (0, pad_c)))
             pm = jnp.pad(pm, ((0, pad_r), (0, pad_c), (0, 0)))
+            if rwindows is not None:
+                rcv = jnp.pad(rcv, ((0, 0), (0, pad_r), (0, pad_c)))
+                rpm = jnp.pad(rpm, ((0, pad_r), (0, pad_c), (0, 0)))
         nby2, nbx2 = grid.shape[:2]
         m2, n2 = nby2 // 2, nbx2 // 2
         nby_total = h // cur
@@ -612,8 +686,12 @@ def _rounds_loop(
             jnp.asarray(cj_steps, dtype=jnp.int32),
         )
 
+        if rwindows is None:
+            rcv = rpm = None
+
         def body(g, x, cur=cur, nby2=nby2, nbx2=nbx2, m2=m2, n2=n2,
-                 nby_total=nby_total, row0_b=row0_b, cv=cv, pm=pm):
+                 nby_total=nby_total, row0_b=row0_b, cv=cv, pm=pm,
+                 rcv=rcv, rpm=rpm):
             lam_mult, ci, cj = x
             gp = make_gp(g)
 
@@ -663,6 +741,16 @@ def _rounds_loop(
 
             cv_slab = slab2(cv, (1, 2))  # (side^2, m2, n2)
             costs = _select_costs(cv_slab, ddy, ddx, r)  # (m2, n2, 9)
+            if rcv is not None:
+                # rival-window fallback: same absolute frame-2 pixels, so the
+                # cost agrees with the primary window wherever both cover
+                rpm_slab = slab2(rpm, (0, 1))
+                rddx = ci_int[..., 0] - rpm_slab[..., None, 0]
+                rddy = ci_int[..., 1] - rpm_slab[..., None, 1]
+                in_rival = (jnp.abs(rddx) <= r) & (jnp.abs(rddy) <= r)
+                rcosts = _select_costs(slab2(rcv, (1, 2)), rddy, rddx, r)
+                costs = jnp.where(in_window, costs, rcosts)
+                in_window = in_window | in_rival
 
             pmask = present.astype(jnp.float32)
             du = jnp.abs(cands[..., None, 0] - cands[..., None, :, 0])
@@ -705,6 +793,7 @@ def windowed_level(
     im2_row0: jnp.ndarray | int = 0,
     make_gp=None,
     impl: str = "xla",
+    rival: bool = False,
 ) -> jnp.ndarray:
     """Fused block search + windowed regularization from ONE cost volume.
 
@@ -814,7 +903,24 @@ def windowed_level(
     v = jnp.where(center_ok, (cy_safe + best_dy - oy).astype(jnp.float32), 0.0)
     grid0 = jnp.stack([u, v], axis=-1)
 
+    rwindows = rbase = None
+    if rival:
+        # rival centers from the SEARCH WINNERS (not the smooth prediction):
+        # at a discontinuity the winner snaps to the true local motion, so
+        # the most-different neighbor winner is the foreign motion mode
+        rmv = _pick_rival(grid0.astype(jnp.int32), base_mv, ext)
+        rvy = jnp.clip((oy + rmv[..., 1]) - im2_row0, 0, im2.shape[0] - bs)
+        rvx = jnp.clip(ox + rmv[..., 0], 0, w - bs)
+        rwindows = (
+            _gather_windows(im2, rvy.reshape(-1), rvx.reshape(-1), bs, ext)
+            .astype(jnp.int16)
+            .reshape(npy, npx, bs + 2 * ext, bs + 2 * ext)
+        )
+        rbase = jnp.stack([rvx - ox, (rvy + im2_row0) - oy], axis=-1)
+        cvs_pallas = None  # rival rounds run the XLA CV path
+
     return _rounds_loop(
         patches1, windows, grid0, base_mv, bs, ext, ext, cost, h, w, row0,
         make_gp, lam0, sweeps_per_round, impl, untiled, cvs_pallas,
+        rwindows=rwindows, rbase=rbase,
     )

@@ -169,6 +169,51 @@ def test_fused_pred_center_close_to_search_center(rng):
     assert (a == b).all(axis=-1).mean() > 0.9
 
 
+def test_rival_window_recovers_far_candidates(rng):
+    # the exclusion pathology, isolated: true motion +20 px everywhere, but a
+    # 2-parent-wide strip of blocks gets a zero prediction.  The search can
+    # only reach pred +- 16, so strip blocks end up wrong; their neighbors'
+    # correct MV (+20) is > R=16 from the strip's window center, so plain
+    # windowed can NEVER adopt it - rival windows (centered on the
+    # most-different neighbor winner) make it evaluable, like fourcolor's
+    # unrestricted gathers (motion_framework.cpp:594-602) do
+    import jax.numpy as jnp
+
+    from blockbasedmotionestimation_tpu.ops.windowed import windowed_level
+
+    h, w, bs, ss, dx = 96, 128, 8, 24, 20
+    base = synth.textured_image(h + 64, w + 64, rng)
+    im1 = base[32 : 32 + h, 32 : 32 + w]
+    # im1's block at p matches im2 at p + dx: flow u = +dx everywhere
+    im2 = base[32 : 32 + h, 32 - dx : 32 - dx + w]
+    pred = np.full((h // bs, w // bs, 2), (dx, 0), np.float32)
+    pred[:, 6:8] = 0.0  # the polluted strip (parent cols 6-7)
+    args = (jnp.asarray(im1), jnp.asarray(im2), jnp.asarray(pred), bs, ss)
+    plain = np.asarray(windowed_level(*args, lam0=4.0, sweeps_per_round=2))
+    riv = np.asarray(windowed_level(*args, lam0=4.0, sweeps_per_round=2, rival=True))
+    strip = (slice(16, 80), slice(6 * bs, 8 * bs))
+    assert not (plain[strip][..., 0] == dx).any(), "strip unexpectedly reachable"
+    assert (riv[strip][..., 0] == dx).all() and (riv[strip][..., 1] == 0).all()
+    # away from the strip both paths must agree with the planted motion
+    good = (slice(16, 80), slice(2 * bs, 5 * bs))
+    assert (plain[good][..., 0] == dx).all() and (riv[good][..., 0] == dx).all()
+
+
+def test_rival_equals_windowed_when_no_exclusions(rng):
+    # uniform small translation: every candidate stays in the primary window,
+    # so the rival path must be bit-identical in the interior
+    cfgw = MotionConfig(
+        block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
+        regularizer="windowed",
+    )
+    cfgr = cfgw.replace(rival_window=True)
+    im1, im2 = _pair(rng, 64, 64, dy=1, dx=-2)
+    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfgw))
+    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfgr))
+    np.testing.assert_array_equal(a[16:-16, 16:-16], b[16:-16, 16:-16])
+    assert (a == b).all(axis=-1).mean() > 0.9
+
+
 def test_fused_pallas_matches_xla(rng):
     cfgx = MotionConfig(
         block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
