@@ -60,6 +60,16 @@ class MotionConfig:
       search_order: ``spiral`` is the reference's live path
         (``motion_framework.cpp:296-422``); ``raster`` is its exhaustive
         variant with the closest-to-source tie-break (``:246-294``).
+      mv_cap: optional per-component cap on the MV predictions transferred
+        between pyramid levels (applied identically in the untiled and tiled
+        engines, so tiled == untiled stays bit-exact WITHIN the capped
+        model).  Without it the worst-case MV bound compounds per level
+        (M_l = 2*M_{l+1} + S_l, 240+ rows at the shipped config), making
+        row-tile halos larger than 1080p/8-way tiles so every level falls
+        back to replicated execution; with a cap the halo is
+        ~cap + 2*S_l rows and level 0 shards at 1080p.  Choose it above the
+        true motion range at the processed resolution (like a codec's search
+        range); None (default) preserves the uncapped reference model.
       rival_window: ``windowed`` mode only.  Gather a SECOND frame-2 window
         per parent, centered on its most-different 8-neighbor search MV, and
         evaluate candidates outside the primary window against it.  Closes
@@ -91,6 +101,7 @@ class MotionConfig:
     reg_radius: int | None = None
     window_center: Literal["pred", "search"] = "pred"
     rival_window: bool = False
+    mv_cap: int | None = None
 
     def __post_init__(self) -> None:
         if len(self.block_sizes) != len(self.search_sizes):
@@ -107,6 +118,13 @@ class MotionConfig:
                 raise ValueError(f"search size {ss} must be >= block size {bs}")
         if self.interp_factor < 1:
             raise ValueError("interp_factor must be >= 1")
+        if self.mv_cap is not None and self.mv_cap < max(
+            ss - bs for bs, ss in zip(self.block_sizes, self.search_sizes)
+        ):
+            raise ValueError(
+                "mv_cap below the largest search shift would forbid MVs the "
+                f"coarsest search itself produces, got {self.mv_cap}"
+            )
 
     @property
     def num_levels(self) -> int:

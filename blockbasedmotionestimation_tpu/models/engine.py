@@ -107,6 +107,10 @@ def estimate_flow_padded(
             pred = jnp.zeros((h // bs, w // bs, 2), dtype=jnp.float32)
         else:
             pred = transfer_mvs(dense, cfg.block_sizes[level + 1], bs)
+            if cfg.mv_cap is not None:
+                # capped-MV model: bounds the tiled engine's halo (see
+                # config.MotionConfig.mv_cap); applied identically there
+                pred = jnp.clip(pred, -float(cfg.mv_cap), float(cfg.mv_cap))
         dense = _run_level(im1, im2, pred, bs, ss, cfg)
     return dense  # stride-1: copy_to_all_pixels (:205-206) is the identity here
 

@@ -28,16 +28,21 @@ class Padding:
 
 @functools.lru_cache(maxsize=None)
 def _find_padded_dims(
-    orig_h: int, orig_w: int, block_sizes: tuple[int, ...]
+    orig_h: int, orig_w: int, block_sizes: tuple[int, ...], row_tiles: int = 1
 ) -> tuple[int, int]:
+    # row_tiles > 1 additionally requires the finest level's rows to split
+    # into `row_tiles` strips of an EVEN number of block rows each (the tiled
+    # engine's color-parity requirement, parallel/tiled._level_shardable)
+    row_mult = row_tiles * 2 * block_sizes[0] if row_tiles > 1 else 1
     temp_h, temp_w = orig_h, orig_w
     while True:
-        if temp_h == 2 * orig_h or temp_w == 2 * orig_w:
+        if temp_h >= 2 * orig_h + row_mult or temp_w == 2 * orig_w:
             raise ValueError(
                 "Could not find any multiples of the block size that match "
                 "padded image dimensions (motion_framework.cpp:21-26)"
             )
         rem_h = sum(temp_h % ((1 << i) * bs) for i, bs in enumerate(block_sizes))
+        rem_h += temp_h % row_mult
         rem_w = sum(temp_w % ((1 << i) * bs) for i, bs in enumerate(block_sizes))
         if rem_h == 0 and rem_w == 0:
             return temp_h, temp_w
@@ -47,9 +52,18 @@ def _find_padded_dims(
             temp_w += 1
 
 
-def compute_padding(orig_h: int, orig_w: int, cfg: MotionConfig) -> Padding:
-    """Static padding metadata for a frame of (orig_h, orig_w)."""
-    padded_h, padded_w = _find_padded_dims(orig_h, orig_w, cfg.block_sizes)
+def compute_padding(
+    orig_h: int, orig_w: int, cfg: MotionConfig, row_tiles: int = 1
+) -> Padding:
+    """Static padding metadata for a frame of (orig_h, orig_w).
+
+    row_tiles: pass the row-tiling mesh axis size to ALSO make the padded
+    height split into that many even-block-row strips (see
+    ``parallel.tiled``); the reference's own divisibility rule is unchanged.
+    """
+    padded_h, padded_w = _find_padded_dims(
+        orig_h, orig_w, cfg.block_sizes, row_tiles
+    )
     if (padded_h - orig_h) % 2 or (padded_w - orig_w) % 2:
         # The reference computes pad = (padded - orig) / 2 with integer division
         # and would silently lose a pixel on an odd difference; we define the

@@ -61,7 +61,11 @@ def _cv_dtype(cur: int, cost: str):
 
 
 def _pick_rival(
-    vals: jnp.ndarray, base: jnp.ndarray, r: int, radius: int = 1
+    vals: jnp.ndarray,
+    base: jnp.ndarray,
+    r: int,
+    radius: int = 1,
+    row_extend=None,
 ) -> jnp.ndarray:
     """Each parent's rival window center: the local foreign motion mode.
 
@@ -75,6 +79,10 @@ def _pick_rival(
     straddle the base: it picks the wronger one and the true mode stays
     excluded.  Parents with no excluded neighbors keep base (a no-op rival).
     Ties resolve to the first neighbor in raster order.
+
+    row_extend: optional hook adding ``radius`` parent rows of winners above
+    and below (the tiled engine's cross-tile exchange, edge-replicated at
+    global frame boundaries); default is plain edge replication.
     """
     npy, npx = vals.shape[:2]
     offs = [
@@ -83,7 +91,11 @@ def _pick_rival(
         for dx in range(-radius, radius + 1)
         if (dy, dx) != (0, 0)
     ]
-    vp = jnp.pad(vals, ((radius, radius), (radius, radius), (0, 0)), mode="edge")
+    if row_extend is None:
+        vp = jnp.pad(vals, ((radius, radius), (0, 0), (0, 0)), mode="edge")
+    else:
+        vp = row_extend(vals)
+    vp = jnp.pad(vp, ((0, 0), (radius, radius), (0, 0)), mode="edge")
     neigh = jnp.stack(
         [
             vp[radius + dy : radius + dy + npy, radius + dx : radius + dx + npx]
@@ -533,6 +545,7 @@ def windowed_schedule(
     make_gp=None,
     impl: str = "xla",
     rival: bool = False,
+    rival_extend=None,
 ) -> jnp.ndarray:
     """The per-level regularization schedule on window-resident data.
 
@@ -571,7 +584,7 @@ def windowed_schedule(
 
     rwindows = rbase = None
     if rival:
-        rmv = _pick_rival(parent_mv, parent_mv, r)
+        rmv = _pick_rival(parent_mv, parent_mv, r, row_extend=rival_extend)
         rvy = jnp.clip((oy + rmv[..., 1]) - im2_row0, 0, im2.shape[0] - bs)
         rvx = jnp.clip(ox + rmv[..., 0], 0, w - bs)
         rwindows = (
@@ -794,6 +807,7 @@ def windowed_level(
     make_gp=None,
     impl: str = "xla",
     rival: bool = False,
+    rival_extend=None,
 ) -> jnp.ndarray:
     """Fused block search + windowed regularization from ONE cost volume.
 
@@ -908,7 +922,9 @@ def windowed_level(
         # rival centers from the SEARCH WINNERS (not the smooth prediction):
         # at a discontinuity the winner snaps to the true local motion, so
         # the most-different neighbor winner is the foreign motion mode
-        rmv = _pick_rival(grid0.astype(jnp.int32), base_mv, ext)
+        rmv = _pick_rival(
+            grid0.astype(jnp.int32), base_mv, ext, row_extend=rival_extend
+        )
         rvy = jnp.clip((oy + rmv[..., 1]) - im2_row0, 0, im2.shape[0] - bs)
         rvx = jnp.clip(ox + rmv[..., 0], 0, w - bs)
         rwindows = (

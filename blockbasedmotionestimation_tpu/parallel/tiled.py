@@ -51,13 +51,19 @@ def mv_bound(cfg: MotionConfig, level: int) -> int:
     coarse MV doubles per level and each search adds its spiral extent.
     Gather-mode regularization only adopts existing candidates (no growth);
     windowed mode can push an MV up to reg_radius past its parent search MV
-    per level, so the bound grows by R_l there."""
+    per level, so the bound grows by R_l there.  With ``cfg.mv_cap`` the
+    transferred prediction is clamped, so the compounding stops at the cap
+    (making the halo small enough to shard 1080p rows 8 ways at the shipped
+    config instead of falling back to replicated execution)."""
     from blockbasedmotionestimation_tpu.ops.spiral import spiral_extent
 
     m = 0  # max |MV| after the coarser level completes
     for l in range(cfg.num_levels - 1, level - 1, -1):
         s = spiral_extent(cfg.shift(l))
-        m = 2 * m + s  # search reach at level l
+        pred = 2 * m  # the transferred prediction at level l
+        if cfg.mv_cap is not None:
+            pred = min(pred, cfg.mv_cap)
+        m = pred + s  # search reach at level l
         if cfg.regularizer == "windowed" and l > level:
             r = s if cfg.reg_radius is None else min(cfg.reg_radius, s)
             m += r
@@ -96,6 +102,22 @@ def _exchange_rows(x: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
     return jnp.concatenate([from_north, x, from_south], axis=0)
 
 
+def _exchange_rows_edge(x: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """1-row neighbor exchange, edge-REPLICATED at mesh boundaries.
+
+    Matches the untiled engine's ``jnp.pad(..., mode='edge')`` semantics for
+    the rival-window pick: interior tile edges come from the neighbor tile,
+    the global frame's first/last rows replicate themselves.
+    """
+    t = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    from_north = jax.lax.ppermute(x[-1:], axis, [(i, i + 1) for i in range(t - 1)])
+    from_south = jax.lax.ppermute(x[:1], axis, [(i, i - 1) for i in range(1, t)])
+    north = jnp.where(idx == 0, x[:1], from_north)
+    south = jnp.where(idx == t - 1, x[-1:], from_south)
+    return jnp.concatenate([north, x, south], axis=0)
+
+
 def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int, axis: str):
     """Builds the per-device level body (search + regularization schedule)."""
 
@@ -110,6 +132,9 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
             gh = _exchange_rows(g, 1, axis)  # (north, local, south) rows
             return jnp.pad(gh, ((0, 1), (1, 2), (0, 0)))
 
+        def rival_extend(g):
+            return _exchange_rows_edge(g, axis)
+
         if cfg.uses_fused_windowed:
             from blockbasedmotionestimation_tpu.ops.windowed import windowed_level
 
@@ -118,6 +143,7 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
                 float(bs) * cfg.lambda_scale, cfg.sweeps_per_round,
                 cost=cfg.cost, full_h=full_h, row0=row0, im2_row0=im2_row0,
                 make_gp=make_gp, impl=cfg.search_impl,
+                rival=cfg.rival_window, rival_extend=rival_extend,
             )
 
         grid = block_search_level(
@@ -135,6 +161,7 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
                 cost=cfg.cost, reg_radius=cfg.reg_radius,
                 full_h=full_h, row0=row0, im2_row0=im2_row0, make_gp=make_gp,
                 impl=cfg.search_impl,
+                rival=cfg.rival_window, rival_extend=rival_extend,
             )
         return reg.run_schedule(
             im1_t, im2_buf, grid, bs, lam0, cfg.sweeps_per_round, cfg.regularizer,
@@ -190,6 +217,8 @@ def estimate_flow_padded_tiled(
             pred = jnp.zeros((h // bs, w // bs, 2), dtype=jnp.float32)
         else:
             pred = engine.transfer_mvs(dense, cfg.block_sizes[level + 1], bs)
+            if cfg.mv_cap is not None:  # identical clamp to the untiled engine
+                pred = jnp.clip(pred, -float(cfg.mv_cap), float(cfg.mv_cap))
 
         halo = im2_halo(cfg, level)
         if _level_shardable(h, w, bs, t) and halo < h // t:

@@ -39,6 +39,60 @@ def test_mv_bound_recursion():
     assert tiled.mv_bound(cfg, 0) == 240
 
 
+def test_mv_cap_shards_1080p_level0():
+    # the bench config CANNOT shard 1080p without a cap (VERDICT r1): the
+    # worst-case halo exceeds the per-device strip at every level.  With
+    # mv_cap=64 and tile-aware padding, level 0 shards 8 ways.
+    from blockbasedmotionestimation_tpu.ops import pad as pad_ops
+
+    cfg = MotionConfig(interp_factor=1, regularizer="windowed", mv_cap=64)
+    p = pad_ops.compute_padding(1080, 1920, cfg, row_tiles=8)
+    assert p.padded_h % (8 * 32 * 2) == 0, p
+    strip = p.padded_h // 8
+    halo = tiled.im2_halo(cfg, 0)
+    assert halo == 64 + 16 + 16  # cap + spiral extent + window reach
+    assert tiled._level_shardable(p.padded_h, p.padded_w, 32, 8)
+    assert halo < strip, (halo, strip)
+    # without the cap the halo swallows the strip (the r1 failure mode)
+    uncapped = cfg.replace(mv_cap=None)
+    assert tiled.im2_halo(uncapped, 0) >= strip
+
+
+def test_mv_cap_tiled_equals_untiled_near_bound(rng):
+    # adversarial: the planted motion sits AT the cap, so boundary tiles
+    # exercise the outermost halo rows the bound promises; the level only
+    # shards BECAUSE of the cap, and tiled must still equal untiled
+    cfg = MotionConfig(
+        block_sizes=(4, 4, 4), search_sizes=(12, 12, 12), interp_factor=1,
+        regularizer="windowed", mv_cap=8,
+    )
+    h, t = 256, 8
+    assert not tiled.im2_halo(cfg.replace(mv_cap=None), 0) < h // t
+    assert tiled.im2_halo(cfg, 0) < h // t
+    im1, im2 = _pair(rng, h, 64, dy=8, dx=-8, margin=16)
+    mesh = _mesh()
+    want = np.asarray(engine.estimate_flow_padded(im1, im2, cfg))
+    got = np.asarray(tiled.estimate_flow_padded_tiled(im1, im2, cfg, mesh))
+    np.testing.assert_array_equal(got, want)
+    # the cap must not have stopped the engine from finding the true motion
+    # (_pair shifts base by (dy, dx), so flow = (-dx, -dy))
+    assert (want[64:192, 24:40] == np.float32([8, -8])).all()
+
+
+def test_rival_tiled_equals_untiled(rng):
+    # the rival pick reads neighbor-tile winners (1-row ppermute exchange,
+    # edge-replicated at frame boundaries): tiled == untiled bit for bit
+    cfg = MotionConfig(
+        block_sizes=(4, 4), search_sizes=(6, 6), interp_factor=1,
+        regularizer="windowed", rival_window=True,
+    )
+    im1, im2 = _pair(rng, 128, 64, dy=1, dx=-1)
+    mesh = _mesh()
+    want = np.asarray(engine.estimate_flow_padded(im1, im2, cfg))
+    got = np.asarray(tiled.estimate_flow_padded_tiled(im1, im2, cfg, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("mode", ["fourcolor", "jacobi"])
 def test_tiled_equals_untiled(rng, mode):
     # 128 rows over 8 devices = 16-row tiles; bs 4 -> 4 block rows per tile
