@@ -252,6 +252,15 @@ def regularize_mvs(
 ) -> None:
     """One in-place Gauss-Seidel regularization sweep (``:424-530``)."""
     height, width = im1.shape
+    if height < 2 * block_size or width < 2 * block_size:
+        # the reference's corner candidate lists (:492-522) unconditionally
+        # read the right/bottom neighbor, which on a <2x2 block grid is an
+        # out-of-bounds cv::Mat::at (UB upstream - its Middlebury inputs
+        # never pad below 2x2 at the coarsest level); fail loudly instead
+        raise ValueError(
+            f"block grid below 2x2 ({height}x{width} px at block "
+            f"{block_size}) is outside the reference's defined envelope"
+        )
     flt_max = np.finfo(np.float32).max
     for i in range(0, height, block_size):
         for j in range(0, width, block_size):

@@ -238,6 +238,84 @@ def estimate_flow_padded_tiled(
     return dense
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mesh", "batch_axis", "axis")
+)
+def estimate_flow_padded_batch_tiled(
+    im1s: jnp.ndarray,
+    im2s: jnp.ndarray,
+    cfg: MotionConfig,
+    mesh: Mesh,
+    batch_axis: str = "batch",
+    axis: str = "ty",
+) -> jnp.ndarray:
+    """ONE jitted program sharding BOTH parallel dimensions: frame pairs over
+    ``batch_axis`` (DCN across hosts) and rows over ``axis`` (halo exchange
+    on ICI) - the layout ``multihost.make_mesh`` builds.  Per device: a local
+    batch chunk of local row strips; the per-frame tiled level body is
+    vmapped over the chunk, so the ppermute halo exchanges batch together.
+
+    im1s/im2s: (B, H', W') pre-padded uint8, B divisible by the batch axis.
+    Returns (B, H', W', 2) flow sharded (batch, rows).
+    """
+    if cfg.regularizer == "exact":
+        raise ValueError(
+            "regularizer='exact' is a whole-frame raster sweep and cannot be "
+            "row-tiled; use engine.estimate_flow_batched, or fourcolor/"
+            "windowed here"
+        )
+    t = mesh.shape[axis]
+    levels = cfg.num_levels
+    pyr1 = [im1s]
+    pyr2 = [im2s]
+    for _ in range(1, levels):
+        pyr1.append(jax.vmap(resample.pyrdown_u8)(pyr1[-1]))
+        pyr2.append(jax.vmap(resample.pyrdown_u8)(pyr2[-1]))
+
+    bt_sharding = NamedSharding(mesh, P(batch_axis, axis, None))
+
+    dense = None
+    for level in range(levels - 1, -1, -1):
+        im1, im2 = pyr1[level], pyr2[level]
+        h, w = im1.shape[1:]
+        bs, ss = cfg.block_sizes[level], cfg.search_sizes[level]
+        if dense is None:
+            b = im1.shape[0]
+            pred = jnp.zeros((b, h // bs, w // bs, 2), dtype=jnp.float32)
+        else:
+            pred = jax.vmap(
+                lambda d: engine.transfer_mvs(d, cfg.block_sizes[level + 1], bs)
+            )(dense)
+            if cfg.mv_cap is not None:
+                pred = jnp.clip(pred, -float(cfg.mv_cap), float(cfg.mv_cap))
+
+        halo = im2_halo(cfg, level)
+        if _level_shardable(h, w, bs, t) and halo < h // t:
+            im1 = jax.lax.with_sharding_constraint(im1, bt_sharding)
+            im2 = jax.lax.with_sharding_constraint(im2, bt_sharding)
+            body = _tiled_level_fn(bs, ss, cfg, h, halo, axis)
+            dense = shard_map(
+                jax.vmap(body),
+                mesh=mesh,
+                in_specs=(
+                    P(batch_axis, axis, None),
+                    P(batch_axis, axis, None),
+                    P(batch_axis, axis, None, None),
+                ),
+                out_specs=P(batch_axis, axis, None, None),
+                check_vma=False,
+            )(im1, im2, pred)
+        else:
+            # level too small to row-tile: batch-parallel only
+            im1 = jax.lax.with_sharding_constraint(
+                im1, NamedSharding(mesh, P(batch_axis, None, None))
+            )
+            dense = jax.vmap(
+                lambda a, b, p: engine._run_level(a, b, p, bs, ss, cfg)
+            )(im1, im2, pred)
+    return dense
+
+
 def estimate_flow_batch(
     im1s: jnp.ndarray,
     im2s: jnp.ndarray,

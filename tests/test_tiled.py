@@ -123,6 +123,25 @@ def test_tiled_coarse_fallback_equals_untiled(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_batch_tiled_combined_matches_untiled(rng):
+    # ONE program sharding batch over "batch" AND rows over "ty" (the
+    # multihost layout): equals the untiled per-pair engine bit for bit
+    cfg = MotionConfig(
+        block_sizes=(4, 4), search_sizes=(6, 6), interp_factor=1,
+        regularizer="windowed",
+    )
+    mesh = _mesh(("batch", "ty"), (2, 4))
+    pairs = [_pair(rng, 64, 64, dy=d % 3, dx=-(d % 2)) for d in range(4)]
+    im1s = np.stack([p[0] for p in pairs])
+    im2s = np.stack([p[1] for p in pairs])
+    got = np.asarray(
+        tiled.estimate_flow_padded_batch_tiled(im1s, im2s, cfg, mesh)
+    )
+    for b in range(4):
+        want = np.asarray(engine.estimate_flow_padded(im1s[b], im2s[b], cfg))
+        np.testing.assert_array_equal(got[b], want)
+
+
 def test_batch_sharded_matches_single(rng):
     cfg = MotionConfig(
         block_sizes=(4,), search_sizes=(8,), interp_factor=1, regularizer="fourcolor"
