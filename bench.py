@@ -70,6 +70,15 @@ def main() -> None:
     dt = (time.time() - t0) / iters / B
 
     fields_per_sec = 1.0 / dt
+
+    # machine-checkable roofline: the fused windowed pipeline's structural
+    # floor (pooled-CV VPU int-ops + CV write/read HBM traffic; see
+    # utils.profiling.windowed_pipeline_floor and DESIGN.md section 7)
+    from blockbasedmotionestimation_tpu.ops import pad as pad_ops
+    from blockbasedmotionestimation_tpu.utils import profiling
+
+    p = pad_ops.compute_padding(H, W, cfg)
+    floor = profiling.windowed_pipeline_floor(cfg, p.padded_h, p.padded_w)
     print(
         json.dumps(
             {
@@ -77,6 +86,8 @@ def main() -> None:
                 "value": round(fields_per_sec, 4),
                 "unit": "fields/s",
                 "vs_baseline": round(fields_per_sec / _BASELINE_FIELDS_PER_SEC, 3),
+                "floor_ms_per_field": round(floor["floor_s"] * 1e3, 2),
+                "sol_fraction": round(floor["floor_s"] / dt, 4),
             }
         )
     )

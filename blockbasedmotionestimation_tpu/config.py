@@ -77,6 +77,11 @@ class MotionConfig:
         (where a neighbor's correct MV exceeds the primary radius R and
         could otherwise never be adopted) at the cost of a second window
         gather + cost volume.  See ``ops.windowed`` module docstring.
+      rival_radius: max |candidate delta| from the rival center (None: the
+        level's primary radius R).  The rival cost volume scales with
+        (2*rival_radius+1)^2, so a reduced radius buys back most of the
+        rival throughput tax; adopted-from-rival MVs then stay within
+        rival_center +- rival_radius.
       window_center: ``windowed`` mode only.  ``pred`` (default) centers the
         per-parent windows on the truncated prediction - the spiral search's
         own center (``motion_framework.cpp:233-234``) - so ONE pooled
@@ -101,6 +106,7 @@ class MotionConfig:
     reg_radius: int | None = None
     window_center: Literal["pred", "search"] = "pred"
     rival_window: bool = False
+    rival_radius: int | None = None
     mv_cap: int | None = None
 
     def __post_init__(self) -> None:

@@ -82,12 +82,6 @@ def _kernel(
         0, side, pick_row, jnp.zeros((9, mt, nt), jnp.int32)
     )
 
-    # smoothness: sum over present candidates of |c_i - c_j|_1 (:623-644)
-    smooth = jnp.zeros((9, mt, nt), jnp.int32)
-    for j in range(9):
-        d = jnp.abs(cx - cx[j][None]) + jnp.abs(cy - cy[j][None])
-        smooth = smooth + jnp.where(present[j][None] != 0, d, 0)
-
     # global in-image bounds of the candidate target block (:578-582)
     ii = jax.lax.broadcasted_iota(jnp.int32, (mt, nt), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (mt, nt), 1)
@@ -98,21 +92,33 @@ def _kernel(
     in_img = (
         (tx >= 0) & (tx <= full_w - cur) & (ty >= 0) & (ty <= full_h - cur)
     )
+    _finish_step(cx, cy, costs, present, rank, lam, in_window, in_img, out_ref)
 
-    valid = (present != 0) & in_window & in_img
+
+def _finish_step(cx, cy, costs, present, rank, lam, evaluable, in_img, out_ref):
+    """Common tail: smoothness + energy + lexicographic winner + write-back.
+
+    cx/cy/costs/present/rank: (9, ...) candidate-major tiles; evaluable is
+    the window-coverage mask (own window, or either window in rival mode).
+    """
+    smooth = jnp.zeros(cx.shape, jnp.int32)
+    for j in range(9):
+        d = jnp.abs(cx - cx[j][None]) + jnp.abs(cy - cy[j][None])
+        smooth = smooth + jnp.where(present[j][None] != 0, d, 0)
+
+    valid = (present != 0) & evaluable & in_img
     energy = jnp.where(
         valid,
         costs.astype(jnp.float32) + lam * smooth.astype(jnp.float32),
         _F32_MAX,
     )
 
-    # lexicographic (energy, rank) argmin == first strict min in case order
     e_min = energy[0]
     for k in range(1, 9):
         e_min = jnp.minimum(e_min, energy[k])
     rank_sel = jnp.where(energy == e_min[None], rank, _BIG_RANK)
     best_r = rank_sel[0]
-    win = jnp.zeros((mt, nt), jnp.int32)
+    win = jnp.zeros(cx.shape[1:], jnp.int32)
     for k in range(1, 9):
         better = rank_sel[k] < best_r
         best_r = jnp.where(better, rank_sel[k], best_r)
@@ -187,42 +193,12 @@ def _kernel_pm(
     jax.lax.fori_loop(ymin, ymax + 1, pick_row, 0)
     costs = acc_ref[...]
 
-    smooth = jnp.zeros((9, rr, s2, nt), jnp.int32)
-    for j in range(9):
-        d = jnp.abs(cx - cx[j][None]) + jnp.abs(cy - cy[j][None])
-        smooth = smooth + jnp.where(present[j][None] != 0, d, 0)
-
     tx = ox_ref[0][None, None] + cx            # (9, R, s2, nt)
     ty = oy_ref[0][None] + cy                  # (1,R,1,nt)+(9,R,s2,nt)
     in_img = (
         (tx >= 0) & (tx <= full_w - cur) & (ty >= 0) & (ty <= full_h - cur)
     )
-
-    valid = (present != 0) & in_window & in_img
-    energy = jnp.where(
-        valid,
-        costs.astype(jnp.float32) + lam * smooth.astype(jnp.float32),
-        _F32_MAX,
-    )
-
-    e_min = energy[0]
-    for k in range(1, 9):
-        e_min = jnp.minimum(e_min, energy[k])
-    rank_sel = jnp.where(energy == e_min[None], rank, _BIG_RANK)
-    best_r = rank_sel[0]
-    win = jnp.zeros((rr, s2, nt), jnp.int32)
-    for k in range(1, 9):
-        better = rank_sel[k] < best_r
-        best_r = jnp.where(better, rank_sel[k], best_r)
-        win = jnp.where(better, k, win)
-
-    new_x = cx[0]
-    new_y = cy[0]
-    for k in range(1, 9):
-        new_x = jnp.where(win == k, cx[k], new_x)
-        new_y = jnp.where(win == k, cy[k], new_y)
-    out_ref[0] = new_x
-    out_ref[1] = new_y
+    _finish_step(cx, cy, costs, present, rank, lam, in_window, in_img, out_ref)
 
 
 @functools.partial(
@@ -380,3 +356,336 @@ def windowed_color_step(
         interpret=interpret,
     )(scalars, lam_smem, cv_colors, cands, pm_colors, present_colors,
       rank_colors)
+
+
+# --------------------------------------------------------------- rival mode
+# Superset kernels for rival windows (ops.windowed module docstring): a
+# candidate outside the primary window is looked up in a SECOND cost volume
+# built around the parent's rival center.  Kept separate so the non-rival
+# fast path is untouched.
+
+
+def _kernel_rival(
+    sc_ref, lam_ref, cv_ref, rcv_ref, cands_ref, pm_ref, rpm_ref,
+    present_ref, rank_ref, out_ref,
+    *,
+    side: int, r: int, side2: int, r2: int, cur: int,
+    full_h: int, full_w: int,
+):
+    mt, nt = out_ref.shape[1], out_ref.shape[2]
+    ci = sc_ref[1]
+    cj = sc_ref[2]
+    row0_b = sc_ref[3]
+    i0 = pl.program_id(0) * mt
+    j0 = pl.program_id(1) * nt
+
+    cands = cands_ref[...].astype(jnp.int32)
+    cx, cy = cands[:, 0], cands[:, 1]
+    pm = pm_ref[0]
+    rpm = rpm_ref[0]
+    present = present_ref[0]
+    rank = rank_ref[0]
+    lam = lam_ref[0, 0]
+
+    ddx = cx - pm[0][None]
+    ddy = cy - pm[1][None]
+    in_window = (ddx >= -r) & (ddx <= r) & (ddy >= -r) & (ddy <= r)
+    key = jnp.where(in_window, (ddy + r) * side + (ddx + r), -1)
+    rdx = cx - rpm[0][None]
+    rdy = cy - rpm[1][None]
+    in_rival = (rdx >= -r2) & (rdx <= r2) & (rdy >= -r2) & (rdy <= r2)
+    # own window preferred where both cover (identical absolute pixels ->
+    # identical cost); the rival key only fires for own-excluded candidates
+    key_r = jnp.where(
+        in_rival & ~in_window, (rdy + r2) * side2 + (rdx + r2), -1
+    )
+
+    def pick_row(dy, acc):
+        strip = cv_ref[0, pl.ds(dy * side, side)]
+        for dx in range(side):
+            v = strip[dx].astype(jnp.int32)
+            acc = jnp.where(key == dy * side + dx, v[None], acc)
+        return acc
+
+    costs = jax.lax.fori_loop(
+        0, side, pick_row, jnp.zeros((9, mt, nt), jnp.int32)
+    )
+
+    def pick_row_r(dy, acc):
+        strip = rcv_ref[0, pl.ds(dy * side2, side2)]
+        for dx in range(side2):
+            v = strip[dx].astype(jnp.int32)
+            acc = jnp.where(key_r == dy * side2 + dx, v[None], acc)
+        return acc
+
+    costs = jax.lax.fori_loop(0, side2, pick_row_r, costs)
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (mt, nt), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (mt, nt), 1)
+    gi = row0_b + ci + 2 * (i0 + ii)
+    gj = cj + 2 * (j0 + jj)
+    tx = (gj * cur)[None] + cx
+    ty = (gi * cur)[None] + cy
+    in_img = (
+        (tx >= 0) & (tx <= full_w - cur) & (ty >= 0) & (ty <= full_h - cur)
+    )
+    _finish_step(
+        cx, cy, costs, present, rank, lam, in_window | in_rival, in_img,
+        out_ref,
+    )
+
+
+def _kernel_pm_rival(
+    sc_ref, lam_ref, cv_ref, rcv_ref, cands_ref, pm_ref, rpm_ref,
+    present_ref, rank_ref, oy_ref, ox_ref, out_ref, acc_ref,
+    *,
+    side: int, r: int, side2: int, r2: int, cur: int,
+    full_h: int, full_w: int,
+):
+    rr, s2, nt = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
+    cands = cands_ref[...]
+    cx, cy = cands[:, 0], cands[:, 1]
+    pm = pm_ref[...]
+    rpm = rpm_ref[...]
+    present = present_ref[0]
+    rank = rank_ref[0]
+    lam = lam_ref[0, 0]
+
+    ddx = cx - pm[0][None, None, None]
+    ddy = cy - pm[1][None, None, None]
+    in_window = (ddx >= -r) & (ddx <= r) & (ddy >= -r) & (ddy <= r)
+    key = jnp.where(in_window, (ddy + r) * side + (ddx + r), -1)
+    rdx = cx - rpm[0][None, None, None]
+    rdy = cy - rpm[1][None, None, None]
+    in_rival = (rdx >= -r2) & (rdx <= r2) & (rdy >= -r2) & (rdy <= r2)
+    key_r = jnp.where(
+        in_rival & ~in_window, (rdy + r2) * side2 + (rdx + r2), -1
+    )
+
+    big = jnp.int32(1 << 20)
+    bound_on = in_window & (present != 0)
+    ymin = jnp.min(jnp.where(bound_on, ddy, big))
+    ymax = jnp.max(jnp.where(bound_on, ddy, -big))
+    xmin = jnp.min(jnp.where(bound_on, ddx, big))
+    xmax = jnp.max(jnp.where(bound_on, ddx, -big))
+    acc_ref[...] = jnp.zeros((9, rr, s2, nt), jnp.int32)
+
+    def pick_row(dy, _):
+        def pick_col(dx, __):
+            s = (dy + r) * side + (dx + r)
+            v = cv_ref[:, 0, 0, 0, dy + r, dx + r].astype(jnp.int32)
+            acc_ref[...] = jnp.where(key == s, v[None], acc_ref[...])
+            return 0
+
+        jax.lax.fori_loop(xmin, xmax + 1, pick_col, 0)
+        return 0
+
+    jax.lax.fori_loop(ymin, ymax + 1, pick_row, 0)
+
+    # rival pick: its own bbox; on smooth tiles no candidate is own-excluded
+    # and the loops are empty (only the rival CV tile's DMA remains)
+    bound_r = (key_r >= 0) & (present != 0)
+    rymin = jnp.min(jnp.where(bound_r, rdy, big))
+    rymax = jnp.max(jnp.where(bound_r, rdy, -big))
+    rxmin = jnp.min(jnp.where(bound_r, rdx, big))
+    rxmax = jnp.max(jnp.where(bound_r, rdx, -big))
+
+    def pick_row_r(dy, _):
+        def pick_col_r(dx, __):
+            s = (dy + r2) * side2 + (dx + r2)
+            v = rcv_ref[:, 0, 0, 0, dy + r2, dx + r2].astype(jnp.int32)
+            acc_ref[...] = jnp.where(key_r == s, v[None], acc_ref[...])
+            return 0
+
+        jax.lax.fori_loop(rxmin, rxmax + 1, pick_col_r, 0)
+        return 0
+
+    jax.lax.fori_loop(rymin, rymax + 1, pick_row_r, 0)
+    costs = acc_ref[...]
+
+    tx = ox_ref[0][None, None] + cx
+    ty = oy_ref[0][None] + cy
+    in_img = (
+        (tx >= 0) & (tx <= full_w - cur) & (ty >= 0) & (ty <= full_h - cur)
+    )
+    _finish_step(
+        cx, cy, costs, present, rank, lam, in_window | in_rival, in_img,
+        out_ref,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "side", "r", "side2", "r2", "cur", "full_h", "full_w", "interpret"
+    ),
+)
+def windowed_color_step_pm_rival(
+    scalars: jnp.ndarray,
+    lam_mult: jnp.ndarray,
+    cv_pm: jnp.ndarray,           # (f//2, 2, 2, nPp//128, side, side, s2, 128)
+    rcv_pm: jnp.ndarray,          # (f//2, 2, 2, nPp//128, side2, side2, s2, 128)
+    cands_pm: jnp.ndarray,
+    pm_lane: jnp.ndarray,         # (2, nPp) i32
+    rpm_lane: jnp.ndarray,        # (2, nPp) i32 rival centers
+    present_pm: jnp.ndarray,
+    rank_pm: jnp.ndarray,
+    oy_cell: jnp.ndarray,
+    ox_cell: jnp.ndarray,
+    side: int,
+    r: int,
+    side2: int,
+    r2: int,
+    cur: int,
+    full_h: int,
+    full_w: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Rival-mode ``windowed_color_step_pm`` (see the non-rival wrapper)."""
+    s2, npp = cv_pm.shape[6], cv_pm.shape[3] * 128
+    syq = cv_pm.shape[0]
+    cv_row_bytes = (
+        side * side * s2 * 128 * cv_pm.dtype.itemsize
+        + side2 * side2 * s2 * 128 * rcv_pm.dtype.itemsize
+    )
+    rows = syq
+    while rows > 1 and rows * cv_row_bytes > 10 * 1024 * 1024:
+        rows //= 2
+    grid = (syq // rows, npp // 128)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda j, i, sc: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, 1, 1, 1, side, side, s2, 128),
+                         lambda j, i, sc: (j, sc[1], sc[2], i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1, 1, 1, side2, side2, s2, 128),
+                         lambda j, i, sc: (j, sc[1], sc[2], i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, 2, rows, s2, 128),
+                         lambda j, i, sc: (0, 0, j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda j, i, sc: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda j, i, sc: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, rows, s2, 128),
+                         lambda j, i, sc: (sc[0], 0, j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, rows, s2, 128),
+                         lambda j, i, sc: (sc[0], 0, j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 1, 128), lambda j, i, sc: (sc[0], j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s2, 128), lambda j, i, sc: (sc[0], 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, rows, s2, 128), lambda j, i, sc: (0, j, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((9, rows, s2, 128), jnp.int32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_pm_rival, side=side, r=r, side2=side2, r2=r2, cur=cur,
+            full_h=full_h, full_w=full_w,
+        ),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((2, s2, s2, npp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(scalars, jnp.reshape(lam_mult.astype(jnp.float32), (1, 1)), cv_pm,
+      rcv_pm, cands_pm, pm_lane, rpm_lane, present_pm, rank_pm, oy_cell,
+      ox_cell)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "side", "r", "side2", "r2", "cur", "full_h", "full_w",
+        "m_tile", "n_tile", "interpret",
+    ),
+)
+def windowed_color_step_rival(
+    scalars: jnp.ndarray,
+    lam_mult: jnp.ndarray,
+    cv_colors: jnp.ndarray,       # (4, side^2, M2, N2)
+    rcv_colors: jnp.ndarray,      # (4, side2^2, M2, N2)
+    cands: jnp.ndarray,
+    pm_colors: jnp.ndarray,
+    rpm_colors: jnp.ndarray,      # (4, 2, M2, N2) rival centers
+    present_colors: jnp.ndarray,
+    rank_colors: jnp.ndarray,
+    side: int,
+    r: int,
+    side2: int,
+    r2: int,
+    cur: int,
+    full_h: int,
+    full_w: int,
+    m_tile: int = 8,
+    n_tile: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Rival-mode ``windowed_color_step`` (see the non-rival wrapper)."""
+    m2, n2 = cv_colors.shape[2:]
+    grid = (m2 // m_tile, n2 // n_tile)
+    lam_smem = jnp.reshape(lam_mult.astype(jnp.float32), (1, 1))
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j, sc: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, side * side, m_tile, n_tile),
+                lambda i, j, sc: (sc[0], 0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, side2 * side2, m_tile, n_tile),
+                lambda i, j, sc: (sc[0], 0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((9, 2, m_tile, n_tile), lambda i, j, sc: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, m_tile, n_tile),
+                         lambda i, j, sc: (sc[0], 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, m_tile, n_tile),
+                         lambda i, j, sc: (sc[0], 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, m_tile, n_tile),
+                         lambda i, j, sc: (sc[0], 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, m_tile, n_tile),
+                         lambda i, j, sc: (sc[0], 0, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, m_tile, n_tile), lambda i, j, sc: (0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_rival, side=side, r=r, side2=side2, r2=r2, cur=cur,
+            full_h=full_h, full_w=full_w,
+        ),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((2, m2, n2), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            # two full-delta CV tiles (own + rival), double-buffered, exceed
+            # the 16M default scoped-vmem budget at cur == bs
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(scalars, lam_smem, cv_colors, rcv_colors, cands, pm_colors,
+      rpm_colors, present_colors, rank_colors)

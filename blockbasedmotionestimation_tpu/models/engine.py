@@ -72,6 +72,7 @@ def _run_level(
         return windowed_level(
             im1, im2, pred, bs, ss, lam0f, cfg.sweeps_per_round,
             cost=cfg.cost, impl=cfg.search_impl, rival=cfg.rival_window,
+            rival_radius=cfg.rival_radius,
         )
     grid = block_search_level(
         im1, im2, pred, bs, ss, impl=cfg.search_impl, order=cfg.search_order,
@@ -82,7 +83,7 @@ def _run_level(
         return windowed_schedule(
             im1, im2, grid, bs, ss, lam0, cfg.sweeps_per_round,
             cost=cfg.cost, reg_radius=cfg.reg_radius, impl=cfg.search_impl,
-            rival=cfg.rival_window,
+            rival=cfg.rival_window, rival_radius=cfg.rival_radius,
         )
     return run_schedule(
         im1, im2, grid, bs, lam0,

@@ -238,6 +238,9 @@ def _pallas_round_pm(
     sweeps_per_round: int,
     make_gp,
     interp: bool,
+    rcvq: jnp.ndarray | None = None,  # rival CV, same layout at side2
+    rbase: jnp.ndarray | None = None,  # (npy, npx, 2) i32 rival centers
+    r2: int = 0,
 ) -> jnp.ndarray:
     """Sub-divided rounds (f >= 2) in PARENT-MAJOR cell layout.
 
@@ -249,6 +252,7 @@ def _pallas_round_pm(
     """
     from blockbasedmotionestimation_tpu.kernels.reg_step import (
         windowed_color_step_pm,
+        windowed_color_step_pm_rival,
     )
 
     f = bs // cur
@@ -301,6 +305,8 @@ def _pallas_round_pm(
     oy_cell = jnp.stack(oy_cell)
     ox_cell = jnp.stack(ox_cell)
     pm_lane = padp(parent_mv.transpose(2, 0, 1).reshape(2, n_p).astype(jnp.int32))
+    if rcvq is not None:
+        rpm_lane = padp(rbase.transpose(2, 0, 1).reshape(2, n_p).astype(jnp.int32))
 
     lam_sweeps = jnp.asarray(
         [lam * (sweep + 1) for sweep in range(sweeps_per_round)],
@@ -368,10 +374,17 @@ def _pallas_round_pm(
                     jnp.asarray(row0_b, jnp.int32),
                 ]
             )
-            new_mv = windowed_color_step_pm(
-                sc, lam_mult, cv_in, cands, pm_lane, present_pm, rank_pm,
-                oy_cell, ox_cell, side, r, cur, h, w, interpret=interp,
-            )
+            if rcvq is not None:
+                new_mv = windowed_color_step_pm_rival(
+                    sc, lam_mult, cv_in, rcvq, cands, pm_lane, rpm_lane,
+                    present_pm, rank_pm, oy_cell, ox_cell,
+                    side, r, 2 * r2 + 1, r2, cur, h, w, interpret=interp,
+                )
+            else:
+                new_mv = windowed_color_step_pm(
+                    sc, lam_mult, cv_in, cands, pm_lane, present_pm, rank_pm,
+                    oy_cell, ox_cell, side, r, cur, h, w, interpret=interp,
+                )
             nm = new_mv[..., :n_p]  # (2, s2, s2, nP)
             grc = gc.reshape(2, s2, 2, s2, 2, n_p)
             grc = jax.lax.dynamic_update_slice(
@@ -405,6 +418,9 @@ def _pallas_round(
     sweeps_per_round: int,
     make_gp,
     interp: bool,
+    rcvq: jnp.ndarray | None = None,
+    rbase: jnp.ndarray | None = None,
+    r2: int = 0,
 ) -> jnp.ndarray:
     """One subdivision round's sweep x color steps via the fused Pallas
     color-step kernel (``kernels.reg_step``).
@@ -416,6 +432,7 @@ def _pallas_round(
     """
     from blockbasedmotionestimation_tpu.kernels.reg_step import (
         windowed_color_step,
+        windowed_color_step_rival,
     )
 
     f = bs // cur
@@ -436,33 +453,55 @@ def _pallas_round(
         return jnp.pad(x, pads, constant_values=fill)
 
     rank_table = jnp.asarray(reg._RANK_TABLE)
-    cv_colors, pm_colors, present_colors, rank_colors = [], [], [], []
-    if f >= 2:
-        # pooled CVs arrive parity-de-interleaved and chunk-major
-        # (f//2, 2, 2, nch, side, side, f//2, 128); restore the plain
-        # (side, side, sy, sx, nP) order for the slab path
-        n_pad = cvq.shape[3] * 128
-        cvq = (
-            cvq.transpose(4, 5, 0, 1, 6, 2, 3, 7)
-            .reshape(side, side, f, f, n_pad)[..., : npy * npx]
-        )
-    if f == 1:
-        cv_base = cvq.reshape(side * side, -1)[:, : npy * npx]
-        cv_base = cv_base.reshape(side * side, npy, npx)
-        cv_base = jnp.pad(cv_base, ((0, 0), (0, pad_r), (0, pad_c)))
-        pm_base = jnp.pad(parent_mv, ((0, pad_r), (0, pad_c), (0, 0)))
-    for ci_, cj_ in _COLORS:
-        if f >= 2:  # f even: global sub-row parity == within-parent parity
-            sl = cvq.reshape(side * side, f, f, npy, npx)[:, ci_::2, cj_::2]
-            cv_c = sl.transpose(0, 3, 1, 4, 2).reshape(side * side, m2, n2)
-            f2 = f // 2
-            pm_c = jnp.repeat(jnp.repeat(parent_mv, f2, axis=0), f2, axis=1)
-        else:
-            cv_c = cv_base[:, ci_::2, cj_::2]
-            pm_c = pm_base[ci_::2, cj_::2]
-        cv_colors.append(pad2(cv_c))
-        pm_colors.append(pad2(pm_c.transpose(2, 0, 1).astype(jnp.int32)))
 
+    def cv_to_colors(vol, sd):
+        """Chunk-major pooled CV -> (4, sd^2, m2p, n2p) color slabs."""
+        if f >= 2:
+            # pooled CVs arrive parity-de-interleaved and chunk-major
+            # (f//2, 2, 2, nch, sd, sd, f//2, 128); restore the plain
+            # (sd, sd, sy, sx, nP) order for the slab path
+            n_pad = vol.shape[3] * 128
+            vol = (
+                vol.transpose(4, 5, 0, 1, 6, 2, 3, 7)
+                .reshape(sd, sd, f, f, n_pad)[..., : npy * npx]
+            )
+            vol = vol.reshape(sd * sd, f, f, npy, npx)
+            out = [
+                pad2(
+                    vol[:, ci_::2, cj_::2]
+                    .transpose(0, 3, 1, 4, 2)
+                    .reshape(sd * sd, m2, n2)
+                )
+                for ci_, cj_ in _COLORS
+            ]
+        else:
+            base = vol.reshape(sd * sd, -1)[:, : npy * npx]
+            base = base.reshape(sd * sd, npy, npx)
+            base = jnp.pad(base, ((0, 0), (0, pad_r), (0, pad_c)))
+            out = [pad2(base[:, ci_::2, cj_::2]) for ci_, cj_ in _COLORS]
+        return jnp.stack(out)
+
+    def mv_to_colors(mv):
+        """(npy, npx, 2) parent-grid MVs -> (4, 2, m2p, n2p) color slabs."""
+        if f >= 2:  # f even: global sub-row parity == within-parent parity
+            f2 = f // 2
+            full = jnp.repeat(jnp.repeat(mv, f2, axis=0), f2, axis=1)
+            out = [full for _ in _COLORS]
+        else:
+            base = jnp.pad(mv, ((0, pad_r), (0, pad_c), (0, 0)))
+            out = [base[ci_::2, cj_::2] for ci_, cj_ in _COLORS]
+        return jnp.stack(
+            [pad2(c.transpose(2, 0, 1).astype(jnp.int32)) for c in out]
+        )
+
+    cv_colors = cv_to_colors(cvq, side)
+    pm_colors = mv_to_colors(parent_mv)
+    if rcvq is not None:
+        side2 = 2 * r2 + 1
+        rcv_colors = cv_to_colors(rcvq, side2)
+        rpm_colors = mv_to_colors(rbase)
+    present_colors, rank_colors = [], []
+    for ci_, cj_ in _COLORS:
         kk = jnp.arange(m2, dtype=jnp.int32)[:, None]
         mm = jnp.arange(n2, dtype=jnp.int32)[None, :]
         gi = row0_b + ci_ + 2 * kk
@@ -478,8 +517,6 @@ def _pallas_round(
             present = present.at[..., k].set(present[..., k] & ok)
         present_colors.append(pad2(present.transpose(2, 0, 1).astype(jnp.int32)))
         rank_colors.append(pad2(rank.transpose(2, 0, 1)))
-    cv_colors = jnp.stack(cv_colors)
-    pm_colors = jnp.stack(pm_colors)
     present_colors = jnp.stack(present_colors)
     rank_colors = jnp.stack(rank_colors)
 
@@ -510,10 +547,18 @@ def _pallas_round(
                     jnp.asarray(row0_b, jnp.int32),
                 ]
             )
-            new_mv = windowed_color_step(
-                sc, lam_mult, cv_colors, cands, pm_colors, present_colors,
-                rank_colors, side, r, cur, h, w, interpret=interp,
-            )
+            if rcvq is not None:
+                new_mv = windowed_color_step_rival(
+                    sc, lam_mult, cv_colors, rcv_colors, cands, pm_colors,
+                    rpm_colors, present_colors, rank_colors,
+                    side, r, side2, r2, cur, h, w, interpret=interp,
+                )
+            else:
+                new_mv = windowed_color_step(
+                    sc, lam_mult, cv_colors, cands, pm_colors,
+                    present_colors, rank_colors, side, r, cur, h, w,
+                    interpret=interp,
+                )
             nm = new_mv[:, :m2, :n2].transpose(1, 2, 0).astype(jnp.float32)
             gr = g.reshape(m2, 2, n2, 2, 2)
             gr = jax.lax.dynamic_update_slice(
@@ -546,6 +591,7 @@ def windowed_schedule(
     impl: str = "xla",
     rival: bool = False,
     rival_extend=None,
+    rival_radius: int | None = None,
 ) -> jnp.ndarray:
     """The per-level regularization schedule on window-resident data.
 
@@ -583,30 +629,34 @@ def windowed_schedule(
     )
 
     rwindows = rbase = None
+    r2 = r if rival_radius is None else min(rival_radius, r)
     if rival:
         rmv = _pick_rival(parent_mv, parent_mv, r, row_extend=rival_extend)
         rvy = jnp.clip((oy + rmv[..., 1]) - im2_row0, 0, im2.shape[0] - bs)
         rvx = jnp.clip(ox + rmv[..., 0], 0, w - bs)
         rwindows = (
-            _gather_windows(im2, rvy.reshape(-1), rvx.reshape(-1), bs, ext)
+            _gather_windows(im2, rvy.reshape(-1), rvx.reshape(-1), bs, r2)
             .astype(jnp.int16)
-            .reshape(npy, npx, bs + 2 * ext, bs + 2 * ext)
+            .reshape(npy, npx, bs + 2 * r2, bs + 2 * r2)
         )
         rbase = jnp.stack([rvx - ox, (rvy + im2_row0) - oy], axis=-1)
 
     impl = _resolve_impl(impl)
-    if impl in ("pallas", "pallas_interpret") and not rival:
+    cvs_pallas = rcvs_pallas = None
+    if impl in ("pallas", "pallas_interpret"):
+        interp = impl == "pallas_interpret"
         cvs_pallas = _all_round_cvs_pallas(
-            patches1, windows, bs, ext, r, cost,
-            interpret=(impl == "pallas_interpret"),
+            patches1, windows, bs, ext, r, cost, interpret=interp
         )
-    else:
-        cvs_pallas = None
+        if rival:
+            rcvs_pallas = _all_round_cvs_pallas(
+                patches1, rwindows, bs, r2, r2, cost, interpret=interp
+            )
 
     return _rounds_loop(
         patches1, windows, grid0, parent_mv, bs, ext, r, cost, h, w, row0,
         make_gp, lam0, sweeps_per_round, impl, untiled, cvs_pallas,
-        rwindows=rwindows, rbase=rbase,
+        rwindows=rwindows, rbase=rbase, rcvs_pallas=rcvs_pallas, r2=r2,
     )
 
 
@@ -630,6 +680,8 @@ def _rounds_loop(
     cvs_pallas: dict[int, jnp.ndarray] | None,
     rwindows: jnp.ndarray | None = None,
     rbase: jnp.ndarray | None = None,
+    rcvs_pallas: dict[int, jnp.ndarray] | None = None,
+    r2: int = 0,
 ) -> jnp.ndarray:
     """The subdivision rounds of the windowed schedule (see module docstring).
 
@@ -657,12 +709,15 @@ def _rounds_loop(
             # candidate gather carries the per-step neighbor MV halo that
             # the cell-layout lane rolls cannot see.
             round_fn = _pallas_round_pm if (f >= 2 and untiled) else _pallas_round
+            rkw = {}
+            if rcvs_pallas is not None:
+                rkw = dict(rcvq=rcvs_pallas.pop(cur), rbase=rbase, r2=r2)
             grid = round_fn(
                 grid, cvs_pallas.pop(cur), parent_mv,
                 bs=bs, cur=cur, side=side, r=r, h=h, w=w,
                 row0_b=row0 // cur, lam=lam,
                 sweeps_per_round=sweeps_per_round, make_gp=make_gp,
-                interp=(impl == "pallas_interpret"),
+                interp=(impl == "pallas_interpret"), **rkw,
             )
             grid = subdivide(grid)
             cur >>= 1
@@ -671,7 +726,7 @@ def _rounds_loop(
         cv = _compute_cv(patches1, windows, bs, cur, ext, r, cost)  # (side^2, nby, nbx)
         pm = jnp.repeat(jnp.repeat(parent_mv, f, axis=0), f, axis=1)  # (nby, nbx, 2)
         if rwindows is not None:
-            rcv = _compute_cv(patches1, rwindows, bs, cur, ext, r, cost)
+            rcv = _compute_cv(patches1, rwindows, bs, cur, r2, r2, cost)
             rpm = jnp.repeat(jnp.repeat(rbase, f, axis=0), f, axis=1)
 
         pad_r, pad_c = nby % 2, nbx % 2
@@ -760,8 +815,8 @@ def _rounds_loop(
                 rpm_slab = slab2(rpm, (0, 1))
                 rddx = ci_int[..., 0] - rpm_slab[..., None, 0]
                 rddy = ci_int[..., 1] - rpm_slab[..., None, 1]
-                in_rival = (jnp.abs(rddx) <= r) & (jnp.abs(rddy) <= r)
-                rcosts = _select_costs(slab2(rcv, (1, 2)), rddy, rddx, r)
+                in_rival = (jnp.abs(rddx) <= r2) & (jnp.abs(rddy) <= r2)
+                rcosts = _select_costs(slab2(rcv, (1, 2)), rddy, rddx, r2)
                 costs = jnp.where(in_window, costs, rcosts)
                 in_window = in_window | in_rival
 
@@ -808,6 +863,7 @@ def windowed_level(
     impl: str = "xla",
     rival: bool = False,
     rival_extend=None,
+    rival_radius: int | None = None,
 ) -> jnp.ndarray:
     """Fused block search + windowed regularization from ONE cost volume.
 
@@ -917,7 +973,8 @@ def windowed_level(
     v = jnp.where(center_ok, (cy_safe + best_dy - oy).astype(jnp.float32), 0.0)
     grid0 = jnp.stack([u, v], axis=-1)
 
-    rwindows = rbase = None
+    rwindows = rbase = rcvs_pallas = None
+    r2 = ext if rival_radius is None else min(rival_radius, ext)
     if rival:
         # rival centers from the SEARCH WINNERS (not the smooth prediction):
         # at a discontinuity the winner snaps to the true local motion, so
@@ -928,15 +985,19 @@ def windowed_level(
         rvy = jnp.clip((oy + rmv[..., 1]) - im2_row0, 0, im2.shape[0] - bs)
         rvx = jnp.clip(ox + rmv[..., 0], 0, w - bs)
         rwindows = (
-            _gather_windows(im2, rvy.reshape(-1), rvx.reshape(-1), bs, ext)
+            _gather_windows(im2, rvy.reshape(-1), rvx.reshape(-1), bs, r2)
             .astype(jnp.int16)
-            .reshape(npy, npx, bs + 2 * ext, bs + 2 * ext)
+            .reshape(npy, npx, bs + 2 * r2, bs + 2 * r2)
         )
         rbase = jnp.stack([rvx - ox, (rvy + im2_row0) - oy], axis=-1)
-        cvs_pallas = None  # rival rounds run the XLA CV path
+        if cvs_pallas is not None:
+            rcvs_pallas = _all_round_cvs_pallas(
+                patches1, rwindows, bs, r2, r2, cost,
+                interpret=(impl == "pallas_interpret"),
+            )
 
     return _rounds_loop(
         patches1, windows, grid0, base_mv, bs, ext, ext, cost, h, w, row0,
         make_gp, lam0, sweeps_per_round, impl, untiled, cvs_pallas,
-        rwindows=rwindows, rbase=rbase,
+        rwindows=rwindows, rbase=rbase, rcvs_pallas=rcvs_pallas, r2=r2,
     )

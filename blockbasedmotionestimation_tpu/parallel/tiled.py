@@ -144,6 +144,7 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
                 cost=cfg.cost, full_h=full_h, row0=row0, im2_row0=im2_row0,
                 make_gp=make_gp, impl=cfg.search_impl,
                 rival=cfg.rival_window, rival_extend=rival_extend,
+                rival_radius=cfg.rival_radius,
             )
 
         grid = block_search_level(
@@ -162,6 +163,7 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
                 full_h=full_h, row0=row0, im2_row0=im2_row0, make_gp=make_gp,
                 impl=cfg.search_impl,
                 rival=cfg.rival_window, rival_extend=rival_extend,
+                rival_radius=cfg.rival_radius,
             )
         return reg.run_schedule(
             im1_t, im2_buf, grid, bs, lam0, cfg.sweeps_per_round, cfg.regularizer,

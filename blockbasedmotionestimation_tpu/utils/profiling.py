@@ -80,3 +80,55 @@ def speed_of_light(
         "achieved_ops_per_sec": achieved,
         "fraction_of_nominal": achieved / vpu_ops_per_sec,
     }
+
+
+def windowed_pipeline_floor(
+    cfg,
+    padded_h: int,
+    padded_w: int,
+    vpu_ops_per_sec: float = 2.0e12,
+    hbm_bytes_per_sec: float = 8.1e11,
+) -> dict:
+    """Structural per-field floor of the fused windowed pipeline (seconds).
+
+    Two independent lower bounds, per pyramid level (see DESIGN.md section 7):
+
+    * VPU int-ops: the pooled cost-volume diff pass evaluates every pixel of
+      the level against every delta in the (2R+1)^2 square — ~4 int ops per
+      (pixel, delta): subtract, |.|, accumulate into the cur=2 cell, plus
+      amortized deeper pooling.  This work is irreducible for an exhaustive
+      (2R+1)^2 SAD family.
+    * HBM traffic: each round's cost volume (entries = (2R+1)^2 blocks at
+      that granularity, u16 below the i32 overflow size) is written once by
+      the build and read once per regularization sweep by the color steps.
+
+    floor = max(vpu, hbm); both are optimistic (no dispatch, no windows/
+    image traffic, perfect overlap), so measured/floor < 1 always.
+    """
+    from blockbasedmotionestimation_tpu.ops.spiral import spiral_extent
+
+    vpu_ops = 0
+    hbm_bytes = 0
+    for level in range(cfg.num_levels):
+        h = padded_h >> level
+        w = padded_w >> level
+        bs = cfg.block_sizes[level]
+        r = spiral_extent(cfg.search_sizes[level] - bs)
+        side2 = (2 * r + 1) ** 2
+        vpu_ops += 4 * side2 * h * w
+        cur = bs
+        while cur >= 2:
+            peak = (255 * 255 if cfg.cost == "ssd" else 255) * cur * cur
+            nbytes = 2 if peak < (1 << 16) else 4
+            entries = side2 * (h // cur) * (w // cur)
+            hbm_bytes += entries * nbytes * (1 + cfg.sweeps_per_round)
+            cur >>= 1
+    vpu_s = vpu_ops / vpu_ops_per_sec
+    hbm_s = hbm_bytes / hbm_bytes_per_sec
+    return {
+        "vpu_ops": vpu_ops,
+        "hbm_bytes": hbm_bytes,
+        "vpu_s": vpu_s,
+        "hbm_s": hbm_s,
+        "floor_s": max(vpu_s, hbm_s),
+    }

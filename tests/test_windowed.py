@@ -214,6 +214,48 @@ def test_rival_equals_windowed_when_no_exclusions(rng):
     assert (a == b).all(axis=-1).mean() > 0.9
 
 
+def test_rival_pallas_matches_xla(rng):
+    # the rival-mode Pallas color-step kernels must be bit-identical to the
+    # XLA rival path, on a scene with real exclusions (the discontinuity
+    # strip from test_rival_window_recovers_far_candidates)
+    cfgx = MotionConfig(
+        block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
+        regularizer="windowed", rival_window=True, search_impl="xla",
+    )
+    cfgp = cfgx.replace(search_impl="pallas_interpret")
+    h, w, dx = 96, 128, 20
+    base = synth.textured_image(h + 64, w + 64, rng)
+    im1 = base[32 : 32 + h, 32 : 32 + w]
+    im2 = base[32 : 32 + h, 32 - dx : 32 - dx + w]
+    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfgx))
+    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfgp))
+    np.testing.assert_array_equal(a, b)
+    # reduced rival radius: still pallas == xla, and still repairs the strip
+    cfgx8 = cfgx.replace(rival_radius=8)
+    a8 = np.asarray(engine.estimate_flow_driver(im1, im2, cfgx8))
+    b8 = np.asarray(
+        engine.estimate_flow_driver(im1, im2, cfgx8.replace(search_impl="pallas_interpret"))
+    )
+    np.testing.assert_array_equal(a8, b8)
+
+
+def test_rival_tiled_pallas_equals_untiled(rng):
+    import jax
+    from jax.sharding import Mesh
+    from blockbasedmotionestimation_tpu.parallel import tiled
+
+    cfg = MotionConfig(
+        block_sizes=(4, 4), search_sizes=(6, 6), interp_factor=1,
+        regularizer="windowed", rival_window=True,
+        search_impl="pallas_interpret",
+    )
+    im1, im2 = _pair(rng, 128, 64, dy=1, dx=-1, margin=16)
+    mesh = Mesh(np.array(jax.devices()), ("ty",))
+    want = np.asarray(engine.estimate_flow_padded(im1, im2, cfg))
+    got = np.asarray(tiled.estimate_flow_padded_tiled(im1, im2, cfg, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fused_pallas_matches_xla(rng):
     cfgx = MotionConfig(
         block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
