@@ -35,9 +35,10 @@ def test_windowed_equals_fourcolor_when_deltas_small(rng):
     assert (a == b).all(axis=-1).mean() > 0.9
 
 
-def test_windowed_random_frames_close_to_fourcolor(rng):
-    # independent random frames (worst case for the delta clamp): fields may
-    # differ at a few blocks but must agree almost everywhere
+def test_windowed_single_level_equals_fourcolor_exactly(rng):
+    # with ONE level the prediction is zero everywhere, so every candidate
+    # (a neighbor's winner, |mv| <= R by construction) is structurally
+    # in-window: windowed must equal fourcolor bit for bit, no tolerance
     cfg4 = MotionConfig(
         block_sizes=(8,), search_sizes=(24,), interp_factor=1,
         regularizer="fourcolor",
@@ -47,8 +48,35 @@ def test_windowed_random_frames_close_to_fourcolor(rng):
     im2 = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
     a = np.asarray(engine.estimate_flow_driver(im1, im2, cfg4))
     b = np.asarray(engine.estimate_flow_driver(im1, im2, cfgw))
-    frac_equal = (a == b).all(axis=-1).mean()
-    assert frac_equal > 0.85, frac_equal
+    np.testing.assert_array_equal(a, b)
+
+
+def test_windowed_random_frames_close_to_fourcolor(rng):
+    # independent random frames, TWO levels (the coarse prediction makes
+    # exclusions real): fields may differ at excluded-candidate blocks but
+    # must agree almost everywhere; rival windows must agree even closer.
+    # Measured minima over seeds: windowed 0.943, rival 0.972 (r2 VERDICT
+    # item 8: thresholds tightened from the old trivially-passing 0.85).
+    cfg4 = MotionConfig(
+        block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
+        regularizer="fourcolor",
+    )
+    im1 = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    im2 = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfg4))
+    w = np.asarray(
+        engine.estimate_flow_driver(im1, im2, cfg4.replace(regularizer="windowed"))
+    )
+    frac_w = (a == w).all(axis=-1).mean()
+    assert frac_w > 0.92, frac_w
+    riv = np.asarray(
+        engine.estimate_flow_driver(
+            im1, im2, cfg4.replace(regularizer="windowed", rival_window=True)
+        )
+    )
+    frac_r = (a == riv).all(axis=-1).mean()
+    assert frac_r > 0.96, frac_r
+    assert frac_r >= frac_w, (frac_r, frac_w)
 
 
 @pytest.mark.skipif(
@@ -67,7 +95,9 @@ def test_windowed_epe_matches_fourcolor_on_dimetrodon():
     e4 = evaluate.evaluate_sequence("Dimetrodon", gt_dir, cfg4).epe
     ew = evaluate.evaluate_sequence("Dimetrodon", gt_dir, cfgw).epe
     assert ew < 1.0
-    assert abs(ew - e4) < 0.1, (ew, e4)
+    # measured delta is ~0 on Dimetrodon (EVAL.md / EVAL_full.md); the old
+    # 0.1 tolerance could hide an Urban-sized regression (r2 VERDICT item 8)
+    assert abs(ew - e4) < 0.02, (ew, e4)
 
 
 def test_windowed_tiled_equals_untiled(rng):
