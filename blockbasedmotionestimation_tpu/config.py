@@ -60,6 +60,16 @@ class MotionConfig:
       search_order: ``spiral`` is the reference's live path
         (``motion_framework.cpp:296-422``); ``raster`` is its exhaustive
         variant with the closest-to-source tie-break (``:246-294``).
+      cv_compact: K-slot compact cost-volume tables for the fused windowed
+        path's cur=2/cur=4 rounds (``ops.compact``): the rounds only ever
+        evaluate deltas from the level's winner set, so per 128-parent chunk
+        the first K distinct winner deltas (over a ``cv_compact_ring``
+        parent neighborhood) replace the dense (2S+1)^2 volume - ~30x less
+        CV memory/traffic.  Exact (bit-equal to dense) while no chunk
+        exceeds K distinct deltas and values travel <= ring parents; beyond
+        that, excluded candidates (windowed-family semantics).  None =
+        dense.  Requires the fused pallas path, bs >= 8, untiled, no rival.
+      cv_compact_ring: parent-neighborhood radius of the slot lists.
       mv_cap: optional per-component cap on the MV predictions transferred
         between pyramid levels (applied identically in the untiled and tiled
         engines, so tiled == untiled stays bit-exact WITHIN the capped
@@ -108,6 +118,8 @@ class MotionConfig:
     rival_window: bool = False
     rival_radius: int | None = None
     mv_cap: int | None = None
+    cv_compact: int | None = None
+    cv_compact_ring: int = 3
 
     def __post_init__(self) -> None:
         if len(self.block_sizes) != len(self.search_sizes):

@@ -155,8 +155,8 @@ def _pooled_kernel_planes(patches_ref, wslab_ref, *out_refs, bs, ext, r, cost):
     jax.lax.fori_loop(0, (side + 7) // 8, body, 0)
 
 
-def _diff_kernel_static(patches_ref, wplanes_ref, o2_ref, o4_ref, *, bs, ext,
-                        r, cost):
+def _diff_kernel_static(patches_ref, wplanes_ref, *out_refs, bs, ext,
+                        r, cost, emit_o2=True):
     """Fully-unrolled parity-plane diff kernel: cur=2 and cur=4, both split.
 
     Structural changes over ``_pooled_kernel_planes``, measured ~2x faster
@@ -183,7 +183,11 @@ def _diff_kernel_static(patches_ref, wplanes_ref, o2_ref, o4_ref, *, bs, ext,
     bp = [patches_ref[p].astype(jnp.int32) for p in range(4)]
     wq = [wplanes_ref[c, pl.ds(ext - r + dy, bs), :, :] for c in range(4)]
 
-    dt2 = o2_ref.dtype
+    if emit_o2:
+        o2_ref, o4_ref = out_refs
+        dt2 = o2_ref.dtype
+    else:
+        (o4_ref,) = out_refs
     dt4 = o4_ref.dtype
     for dx in range(side):
         halves = []
@@ -196,10 +200,11 @@ def _diff_kernel_static(patches_ref, wplanes_ref, o2_ref, o4_ref, *, bs, ext,
                 d = jnp.abs(d) if cost == "sad" else d * d
                 acc = d if acc is None else acc + d
             halves.append(acc.reshape(s2, 2, q4, cb).sum(axis=1))
-        for bx in range(2):
-            # y-parity split on the leading dim is free
-            hr = halves[bx].reshape(s2 // 2, 2, q4, cb)
-            o2_ref[:, :, bx, 0, 0, dx] = hr.astype(dt2)
+        if emit_o2:
+            for bx in range(2):
+                # y-parity split on the leading dim is free
+                hr = halves[bx].reshape(s2 // 2, 2, q4, cb)
+                o2_ref[:, :, bx, 0, 0, dx] = hr.astype(dt2)
         pool4 = (halves[0] + halves[1]).reshape(q4, 2, q4, cb).sum(axis=1)
         pr = pool4.reshape(q4 // 2, 2, q4 // 2, 2, cb)
         for bx in range(2):
@@ -240,10 +245,230 @@ def _tail_kernel_static(cv4_ref, *out_refs, bs):
         k += 1
 
 
+def _diff_kernel_bs_only(patches_ref, wplanes_ref, obs_ref, *, bs, ext, r,
+                         cost):
+    """Full-block (cur == bs) costs only: the search volume.
+
+    Same parity-plane diff structure as ``_diff_kernel_static`` but pooled
+    all the way down per delta column (the per-dx tail pooling runs on a
+    (bs//4)^2 grid - tiny), so the dense o4 volume and the tail kernel's
+    HBM round trip disappear entirely in compact mode.
+    """
+    dy = pl.program_id(1)
+    side = 2 * r + 1
+    q4 = bs // 4
+    cb = patches_ref.shape[-1]
+    bp = [patches_ref[p].astype(jnp.int32) for p in range(4)]
+    wq = [wplanes_ref[c, pl.ds(ext - r + dy, bs), :, :] for c in range(4)]
+
+    dt = obs_ref.dtype
+    for dx in range(side):
+        acc = None
+        for p in range(4):
+            c = (p + dx) % 4
+            off = (p + dx) // 4
+            d = bp[p] - wq[c][:, off : off + q4, :].astype(jnp.int32)
+            d = jnp.abs(d) if cost == "sad" else d * d
+            acc = d if acc is None else acc + d
+        pool = acc  # (bs, q4, cb)
+        s = q4
+        while s > 1:
+            pool = pool.reshape(pool.shape[0], s // 2, 2, cb).sum(axis=2)
+            s >>= 1
+        full = pool.sum(axis=0)[0]  # collapse y: (1, cb) -> (cb,)
+        obs_ref[0, dx, 0, 0] = full.astype(dt)
+
+
+def full_block_volume(
+    patches_t: jnp.ndarray,  # (bs, bs, nP) i16
+    windows_t: jnp.ndarray,  # (win, win, nP) i16
+    bs: int,
+    ext: int,
+    r: int,
+    cost: str = "sad",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(side, side, 1, 1, nPad) cur == bs cost volume (the legacy unsplit
+    layout the fused search argmin consumes), without any deeper volumes."""
+    cb = 128
+    n_p = patches_t.shape[-1]
+    win = windows_t.shape[0]
+    side = 2 * r + 1
+    npad = -n_p % cb
+    if npad:
+        patches_t = jnp.pad(patches_t, ((0, 0), (0, 0), (0, npad)))
+        windows_t = jnp.pad(windows_t, ((0, 0), (0, 0), (0, npad)))
+    n = n_p + npad
+    nch = n // cb
+    ngroups = (side + 7) // 8
+    cols = 8 * ngroups + bs
+    wslab = windows_t[:, ext - r :, :]
+    pad_c = cols - wslab.shape[1]
+    if pad_c > 0:
+        wslab = jnp.pad(wslab, ((0, 0), (0, pad_c), (0, 0)))
+    else:
+        wslab = wslab[:, :cols, :]
+    q4 = bs // 4
+    patches_in = patches_t.reshape(bs, q4, 4, n).transpose(2, 0, 1, 3)
+    wplanes = wslab.reshape(win, cols // 4, 4, n).transpose(2, 0, 1, 3)
+    return pl.pallas_call(
+        functools.partial(
+            _diff_kernel_bs_only, bs=bs, ext=ext, r=r, cost=cost
+        ),
+        grid=(nch, side),
+        in_specs=[
+            pl.BlockSpec((4, bs, q4, cb), lambda i, j: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, win, cols // 4, cb), lambda i, j: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, side, 1, 1, cb), lambda i, j: (j, 0, 0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (side, side, 1, 1, n), cv_dtype(bs, cost)
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(patches_in, wplanes)
+
+
+def _compact_kernel(dv_ref, patches_ref, wslab_ref, *out_refs, bs,
+                    ext, r, k_slots, cost):
+    """Pooled cost tables at ONLY the chunk's K slot deltas, every
+    subdivision size cur = 2 .. bs/2 (out_refs ascending cur).
+
+    grid: (nch,).  Slot deltas arrive as SMEM-prefetched CV indices
+    (dy_idx, dx_idx in [0, 2r]; -1 = unused).  The delta row slices the
+    window slab's leading (untiled) dim - free dynamic start; the column
+    start must be 8-aligned on the sublane dim, so it is split into an
+    aligned dynamic slice plus an 8-way static-offset branch selected by a
+    scalar predicate (Mosaic executes only the matching branch).  K ~ 32
+    deltas re-diff ~3% of the dense pass's work while every dense
+    sub-block volume disappears.
+    """
+    ch = pl.program_id(0)
+    b = patches_ref[...].astype(jnp.int32)  # (bs, bs, cb)
+    cb = b.shape[-1]
+    for o in out_refs:
+        o[...] = jnp.zeros(o.shape, o.dtype)
+    for k in range(k_slots):
+        # dv is FLAT (nch*K*2,): SMEM tiles trailing dims to 128 lanes, so a
+        # (nch, K, 2) prefetch would pad to 32 KB per chunk and overflow the
+        # ~1 MB SMEM at real frame sizes
+        dy = dv_ref[(ch * k_slots + k) * 2]
+        dx = dv_ref[(ch * k_slots + k) * 2 + 1]
+        g8 = jnp.maximum(dx, 0) // 8 * 8
+        wide = wslab_ref[pl.ds(ext - r + jnp.maximum(dy, 0), bs),
+                         pl.ds(g8, bs + 8), :]
+        for j in range(8):
+
+            @pl.when((dx >= 0) & (dx % 8 == j))
+            def _(j=j, k=k, wide=wide):
+                w = wide[:, j : j + bs, :].astype(jnp.int32)
+                pool = jnp.abs(b - w) if cost == "sad" else (b - w) * (b - w)
+                s = bs
+                for o in out_refs:  # ascending cur = 2, 4, ..., bs/2
+                    pool = pool.reshape(s // 2, 2, s // 2, 2, cb).sum(
+                        axis=(1, 3)
+                    )
+                    s >>= 1
+                    ps = pool.reshape(s // 2, 2, s // 2, 2, cb)
+                    for bx in range(2):
+                        o[:, :, bx, 0, k] = ps[:, :, :, bx].astype(o.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bs", "ext", "r", "k_slots", "cost", "interpret"),
+)
+def compact_tables(
+    patches_t: jnp.ndarray,  # (bs, bs, nP) i16
+    windows_t: jnp.ndarray,  # (win, win, nP) i16
+    dv: jnp.ndarray,         # (nch, K, 2) i32 CV-index slot deltas
+    bs: int,
+    ext: int,
+    r: int,
+    k_slots: int,
+    cost: str = "sad",
+    interpret: bool = False,
+) -> dict[int, jnp.ndarray]:
+    """{2, 4, ..., bs/2}: compact per-chunk K-slot tables in the chunk-major
+    split layout (s//2, 2, 2, nch, K, s//2, 128) the pm color-step kernel
+    tiles."""
+    cb = 128
+    n_p = patches_t.shape[-1]
+    win = windows_t.shape[0]
+    side = 2 * r + 1
+    npad = -n_p % cb
+    if npad:
+        patches_t = jnp.pad(patches_t, ((0, 0), (0, 0), (0, npad)))
+        windows_t = jnp.pad(windows_t, ((0, 0), (0, 0), (0, npad)))
+    n = n_p + npad
+    nch = n // cb
+    assert dv.shape == (nch, k_slots, 2), (dv.shape, nch, k_slots)
+    dv_flat = dv.reshape(-1)
+
+    ngroups = (side + 7) // 8
+    cols = 8 * ngroups + bs
+    wslab = windows_t[:, ext - r :, :]
+    pad_c = cols - wslab.shape[1]
+    if pad_c > 0:
+        wslab = jnp.pad(wslab, ((0, 0), (0, pad_c), (0, 0)))
+    else:
+        wslab = wslab[:, :cols, :]
+
+    curs = []
+    cur = 2
+    while cur <= bs // 2:
+        curs.append(cur)
+        cur <<= 1
+    out_specs, out_shape = [], []
+    for cur in curs:
+        s = bs // cur
+        out_specs.append(
+            pl.BlockSpec((s // 2, 2, 2, 1, k_slots, s // 2, cb),
+                         lambda i, sc: (0, 0, 0, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct(
+                (s // 2, 2, 2, nch, k_slots, s // 2, cb), cv_dtype(cur, cost)
+            )
+        )
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nch,),
+        in_specs=[
+            pl.BlockSpec((bs, bs, cb), lambda i, sc: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, cols, cb), lambda i, sc: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _compact_kernel, bs=bs, ext=ext, r=r, k_slots=k_slots, cost=cost
+        ),
+        grid_spec=gs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(dv_flat, patches_t, wslab)
+    if not isinstance(outs, (list, tuple)):
+        outs = [outs]
+    return dict(zip(curs, outs))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "bs", "ext", "r", "cost", "block_chunk", "interpret", "variant"
+        "bs", "ext", "r", "cost", "block_chunk", "interpret", "variant",
+        "emit_o2",
     ),
 )
 def delta_pooled_cvs(
@@ -256,6 +481,7 @@ def delta_pooled_cvs(
     block_chunk: int = 128,
     interpret: bool = False,
     variant: str = "auto",
+    emit_o2: bool = True,
 ) -> dict[int, jnp.ndarray]:
     """Pooled cost volumes per sub-block size, s = bs // cur.
 
@@ -314,9 +540,30 @@ def delta_pooled_cvs(
         params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
         patches_in = patches_t.reshape(bs, q4, 4, n).transpose(2, 0, 1, 3)
         wplanes = wslab.reshape(win, cols // 4, 4, n).transpose(2, 0, 1, 3)
-        o2, o4 = pl.pallas_call(
+        out_specs = [
+            pl.BlockSpec((s2 // 2, 2, 2, 1, 1, side, s2 // 2, cb),
+                         lambda i, j: (0, 0, 0, i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q4 // 2, 2, 2, 1, 1, side, q4 // 2, cb),
+                         lambda i, j: (0, 0, 0, i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct(
+                (s2 // 2, 2, 2, nch, side, side, s2 // 2, cb),
+                cv_dtype(2, cost),
+            ),
+            jax.ShapeDtypeStruct(
+                (q4 // 2, 2, 2, nch, side, side, q4 // 2, cb),
+                cv_dtype(4, cost),
+            ),
+        ]
+        if not emit_o2:  # compact mode: dense cur=2 never materializes
+            out_specs, out_shape = out_specs[1:], out_shape[1:]
+        outs = pl.pallas_call(
             functools.partial(
-                _diff_kernel_static, bs=bs, ext=ext, r=r, cost=cost
+                _diff_kernel_static, bs=bs, ext=ext, r=r, cost=cost,
+                emit_o2=emit_o2,
             ),
             grid=(nch, side),
             in_specs=[
@@ -326,28 +573,17 @@ def delta_pooled_cvs(
                              lambda i, j: (0, 0, 0, i),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec((s2 // 2, 2, 2, 1, 1, side, s2 // 2, cb),
-                             lambda i, j: (0, 0, 0, i, j, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((q4 // 2, 2, 2, 1, 1, side, q4 // 2, cb),
-                             lambda i, j: (0, 0, 0, i, j, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct(
-                    (s2 // 2, 2, 2, nch, side, side, s2 // 2, cb),
-                    cv_dtype(2, cost),
-                ),
-                jax.ShapeDtypeStruct(
-                    (q4 // 2, 2, 2, nch, side, side, q4 // 2, cb),
-                    cv_dtype(4, cost),
-                ),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             compiler_params=params,
             interpret=interpret,
         )(patches_in, wplanes)
-        cvs = {2: o2, 4: o4}
+        if emit_o2:
+            o2, o4 = outs
+            cvs = {2: o2, 4: o4}
+        else:
+            (o4,) = outs if isinstance(outs, (list, tuple)) else (outs,)
+            cvs = {4: o4}
         if bs > 4:
             out_shapes, out_specs = [], []
             for c in curs[2:]:

@@ -358,6 +358,150 @@ def windowed_color_step(
       rank_colors)
 
 
+# -------------------------------------------------------------- compact CV
+# K-slot compact-table variant of the pm color step (ops.compact): per
+# chunk, only the K distinct deltas the level's rounds can ever evaluate are
+# stored; a candidate's cost is picked by a K-way unrolled compare against
+# the chunk's SMEM slot list, and a candidate matching no slot is excluded
+# (the windowed family's exclusion semantics - exact whenever the slot list
+# covered every distinct delta).
+
+
+def _kernel_pm_compact(
+    sc_ref,        # (4,) i32 prefetch: [color, ci, cj, row0_b]
+    dv_ref,        # (nch*K*2,) i32 prefetch: FLAT CV-index slot deltas (a
+                   # 2-D+ SMEM prefetch pads trailing dims to 128 lanes)
+    lam_ref,       # (1, 1) f32 SMEM
+    cv_ref,        # (rows, 1, 1, 1, K, s2, 128): color's compact table tile
+    cands_ref,     # (9, 2, rows, s2, 128) i32
+    pm_ref,        # (2, 128) i32 window-center MVs
+    present_ref,   # (1, 9, rows, s2, 128) i32
+    rank_ref,      # (1, 9, rows, s2, 128) i32
+    oy_ref,        # (1, rows, 1, 128) i32
+    ox_ref,        # (1, s2, 128) i32
+    out_ref,       # (2, rows, s2, 128) i32
+    *,
+    k_slots: int,
+    r: int,
+    cur: int,
+    full_h: int,
+    full_w: int,
+):
+    ch = pl.program_id(1)
+    cands = cands_ref[...]
+    cx, cy = cands[:, 0], cands[:, 1]
+    pm = pm_ref[...]
+    present = present_ref[0]
+    rank = rank_ref[0]
+    lam = lam_ref[0, 0]
+
+    kdy = cy - pm[1][None, None, None] + r  # CV-index coords
+    kdx = cx - pm[0][None, None, None] + r
+
+    costs = jnp.zeros(cx.shape, jnp.int32)
+    covered = jnp.zeros(cx.shape, bool)
+    for k in range(k_slots):
+        sdy = dv_ref[(ch * k_slots + k) * 2]
+        sdx = dv_ref[(ch * k_slots + k) * 2 + 1]
+
+        # the (sdy >= 0) guard keeps unused slots (-1) from matching a
+        # far-out-of-window candidate whose CV index is also -1
+        match = (kdy == sdy) & (kdx == sdx) & (sdy >= 0)
+        v = cv_ref[:, 0, 0, 0, k].astype(jnp.int32)  # (rows, s2, 128)
+        costs = jnp.where(match, v[None], costs)
+        covered = covered | match
+
+    tx = ox_ref[0][None, None] + cx
+    ty = oy_ref[0][None] + cy
+    in_img = (
+        (tx >= 0) & (tx <= full_w - cur) & (ty >= 0) & (ty <= full_h - cur)
+    )
+    # incumbent-safety guard: if the cell's OWN current MV missed the slot
+    # list (K overflow), adopting any covered neighbor would be a blind
+    # update against an unevaluated incumbent - keep the incumbent instead
+    # (all-invalid energies tie at FLT_MAX and rank 0 wins)
+    covered = covered & covered[0][None]
+    _finish_step(cx, cy, costs, present, rank, lam, covered, in_img, out_ref)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_slots", "r", "cur", "full_h", "full_w", "interpret"),
+)
+def windowed_color_step_pm_compact(
+    scalars: jnp.ndarray,         # (4,) i32 [color, ci, cj, row0_b]
+    dv: jnp.ndarray,              # (nch, K, 2) i32 slot deltas (flattened
+                                  # before prefetch - see _kernel_pm_compact)
+    lam_mult: jnp.ndarray,        # f32 scalar
+    cv_pm: jnp.ndarray,           # (f//2, 2, 2, nch, K, s2, 128) compact table
+    cands_pm: jnp.ndarray,        # (9, 2, s2, s2, nPp) i32
+    pm_lane: jnp.ndarray,         # (2, nPp) i32
+    present_pm: jnp.ndarray,      # (4, 9, s2, s2, nPp) i32
+    rank_pm: jnp.ndarray,         # (4, 9, s2, s2, nPp) i32
+    oy_cell: jnp.ndarray,         # (4, s2, 1, nPp) i32
+    ox_cell: jnp.ndarray,         # (4, s2, nPp) i32
+    k_slots: int,
+    r: int,
+    cur: int,
+    full_h: int,
+    full_w: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Compact-table ``windowed_color_step_pm`` (see the dense wrapper)."""
+    s2, npp = cv_pm.shape[5], cv_pm.shape[3] * 128
+    syq = cv_pm.shape[0]
+    row_bytes = k_slots * s2 * 128 * cv_pm.dtype.itemsize
+    rows = syq
+    while rows > 1 and rows * row_bytes > 10 * 1024 * 1024:
+        rows //= 2
+    grid = (syq // rows, npp // 128)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda j, i, sc, dv: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, 1, 1, 1, k_slots, s2, 128),
+                         lambda j, i, sc, dv: (j, sc[1], sc[2], i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, 2, rows, s2, 128),
+                         lambda j, i, sc, dv: (0, 0, j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda j, i, sc, dv: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, rows, s2, 128),
+                         lambda j, i, sc, dv: (sc[0], 0, j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, rows, s2, 128),
+                         lambda j, i, sc, dv: (sc[0], 0, j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 1, 128),
+                         lambda j, i, sc, dv: (sc[0], j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s2, 128), lambda j, i, sc, dv: (sc[0], 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, rows, s2, 128), lambda j, i, sc, dv: (0, j, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_pm_compact, k_slots=k_slots, r=r, cur=cur,
+            full_h=full_h, full_w=full_w,
+        ),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((2, s2, s2, npp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(scalars, dv.reshape(-1), jnp.reshape(lam_mult.astype(jnp.float32), (1, 1)),
+      cv_pm, cands_pm, pm_lane, present_pm, rank_pm, oy_cell, ox_cell)
+
+
 # --------------------------------------------------------------- rival mode
 # Superset kernels for rival windows (ops.windowed module docstring): a
 # candidate outside the primary window is looked up in a SECOND cost volume

@@ -199,6 +199,7 @@ def _all_round_cvs_pallas(
     r: int,
     cost: str,
     interpret: bool,
+    emit_o2: bool = True,
 ) -> dict[int, jnp.ndarray]:
     """All subdivision sizes' cost volumes from one Pallas pass.
 
@@ -215,7 +216,8 @@ def _all_round_cvs_pallas(
     patches_t = patches1.reshape(n_p, bs, bs).transpose(1, 2, 0)
     windows_t = windows.reshape(n_p, wside, wside).transpose(1, 2, 0)
     return delta_pooled_cvs(
-        patches_t, windows_t, bs, ext, r, cost, interpret=interpret
+        patches_t, windows_t, bs, ext, r, cost, interpret=interpret,
+        emit_o2=emit_o2,
     )
 
 
@@ -241,6 +243,8 @@ def _pallas_round_pm(
     rcvq: jnp.ndarray | None = None,  # rival CV, same layout at side2
     rbase: jnp.ndarray | None = None,  # (npy, npx, 2) i32 rival centers
     r2: int = 0,
+    dv_slots: jnp.ndarray | None = None,  # compact mode: (nch, K, 2) slots
+    k_slots: int = 0,
 ) -> jnp.ndarray:
     """Sub-divided rounds (f >= 2) in PARENT-MAJOR cell layout.
 
@@ -252,6 +256,7 @@ def _pallas_round_pm(
     """
     from blockbasedmotionestimation_tpu.kernels.reg_step import (
         windowed_color_step_pm,
+        windowed_color_step_pm_compact,
         windowed_color_step_pm_rival,
     )
 
@@ -374,7 +379,13 @@ def _pallas_round_pm(
                     jnp.asarray(row0_b, jnp.int32),
                 ]
             )
-            if rcvq is not None:
+            if dv_slots is not None:
+                new_mv = windowed_color_step_pm_compact(
+                    sc, dv_slots, lam_mult, cv_in, cands, pm_lane,
+                    present_pm, rank_pm, oy_cell, ox_cell,
+                    k_slots, r, cur, h, w, interpret=interp,
+                )
+            elif rcvq is not None:
                 new_mv = windowed_color_step_pm_rival(
                     sc, lam_mult, cv_in, rcvq, cands, pm_lane, rpm_lane,
                     present_pm, rank_pm, oy_cell, ox_cell,
@@ -682,6 +693,9 @@ def _rounds_loop(
     rbase: jnp.ndarray | None = None,
     rcvs_pallas: dict[int, jnp.ndarray] | None = None,
     r2: int = 0,
+    compact_cvs: dict[int, jnp.ndarray] | None = None,
+    dv_slots: jnp.ndarray | None = None,
+    k_slots: int = 0,
 ) -> jnp.ndarray:
     """The subdivision rounds of the windowed schedule (see module docstring).
 
@@ -712,8 +726,14 @@ def _rounds_loop(
             rkw = {}
             if rcvs_pallas is not None:
                 rkw = dict(rcvq=rcvs_pallas.pop(cur), rbase=rbase, r2=r2)
+            if compact_cvs is not None and cur in compact_cvs:
+                vol = compact_cvs.pop(cur)
+                cvs_pallas.pop(cur, None)
+                rkw = dict(dv_slots=dv_slots, k_slots=k_slots)
+            else:
+                vol = cvs_pallas.pop(cur)
             grid = round_fn(
-                grid, cvs_pallas.pop(cur), parent_mv,
+                grid, vol, parent_mv,
                 bs=bs, cur=cur, side=side, r=r, h=h, w=w,
                 row0_b=row0 // cur, lam=lam,
                 sweeps_per_round=sweeps_per_round, make_gp=make_gp,
@@ -864,6 +884,8 @@ def windowed_level(
     rival: bool = False,
     rival_extend=None,
     rival_radius: int | None = None,
+    compact: int | None = None,
+    compact_ring: int = 3,
 ) -> jnp.ndarray:
     """Fused block search + windowed regularization from ONE cost volume.
 
@@ -931,11 +953,35 @@ def windowed_level(
     base_mv = jnp.stack([cx_safe - ox, (by + im2_row0) - oy], axis=-1)
 
     impl = _resolve_impl(impl)
+    use_compact = (
+        compact is not None
+        and impl in ("pallas", "pallas_interpret")
+        and untiled
+        and not rival
+        and bs >= 8
+    )
     if impl in ("pallas", "pallas_interpret"):
-        cvs_pallas = _all_round_cvs_pallas(
-            patches1, windows, bs, ext, ext, cost,
-            interpret=(impl == "pallas_interpret"),
-        )
+        if use_compact:
+            # compact mode: ONLY the search volume is dense; every
+            # sub-block volume becomes a K-slot table after the search
+            from blockbasedmotionestimation_tpu.kernels.cv_diff import (
+                full_block_volume,
+            )
+
+            wside = windows.shape[3]
+            patches_tt = patches1.reshape(nblk, bs, bs).transpose(1, 2, 0)
+            windows_tt = windows.reshape(nblk, wside, wside).transpose(1, 2, 0)
+            cvs_pallas = {
+                bs: full_block_volume(
+                    patches_tt, windows_tt, bs, ext, ext, cost,
+                    interpret=(impl == "pallas_interpret"),
+                )
+            }
+        else:
+            cvs_pallas = _all_round_cvs_pallas(
+                patches1, windows, bs, ext, ext, cost,
+                interpret=(impl == "pallas_interpret"),
+            )
         # cur == bs volume: (side, side, 1, 1, nPad) unsplit layout
         sad_flat = cvs_pallas[bs].reshape(side * side, -1).astype(jnp.int32)
     else:
@@ -973,6 +1019,25 @@ def windowed_level(
     v = jnp.where(center_ok, (cy_safe + best_dy - oy).astype(jnp.float32), 0.0)
     grid0 = jnp.stack([u, v], axis=-1)
 
+    compact_cvs = dv_slots = None
+    if use_compact:
+        # the rounds' delta universe from the winners (ops.compact): compact
+        # K-slot tables replace every dense sub-block volume
+        from blockbasedmotionestimation_tpu.kernels.cv_diff import (
+            compact_tables,
+        )
+        from blockbasedmotionestimation_tpu.ops.compact import (
+            chunk_delta_slots,
+        )
+
+        dv_slots = chunk_delta_slots(
+            grid0.astype(jnp.int32), base_mv, ext, compact, compact_ring
+        )
+        compact_cvs = compact_tables(
+            patches_tt, windows_tt, dv_slots, bs, ext, ext, compact, cost,
+            interpret=(impl == "pallas_interpret"),
+        )
+
     rwindows = rbase = rcvs_pallas = None
     r2 = ext if rival_radius is None else min(rival_radius, ext)
     if rival:
@@ -1000,4 +1065,6 @@ def windowed_level(
         patches1, windows, grid0, base_mv, bs, ext, ext, cost, h, w, row0,
         make_gp, lam0, sweeps_per_round, impl, untiled, cvs_pallas,
         rwindows=rwindows, rbase=rbase, rcvs_pallas=rcvs_pallas, r2=r2,
+        compact_cvs=compact_cvs, dv_slots=dv_slots,
+        k_slots=0 if compact is None else compact,
     )

@@ -286,6 +286,27 @@ def test_rival_tiled_pallas_equals_untiled(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.skipif(
+    not os.environ.get("BBME_SLOW_TESTS"),
+    reason="interpret-mode compact kernels take ~3 min; set BBME_SLOW_TESTS=1",
+)
+def test_compact_cv_equals_dense_when_no_overflow(rng):
+    # K-slot compact cost-volume tables (ops.compact): bit-identical to the
+    # dense windowed path whenever every chunk's distinct-delta count fits K
+    # (a uniform translation with modest border junk here)
+    cfg_dense = MotionConfig(
+        block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
+        regularizer="windowed", search_impl="pallas_interpret",
+    )
+    cfg_compact = cfg_dense.replace(cv_compact=48)
+    base = synth.textured_image(80, 80, rng)
+    im1 = base[:48, :48]
+    im2 = base[2:50, 3:51]
+    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_dense))
+    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_compact))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_fused_pallas_matches_xla(rng):
     cfgx = MotionConfig(
         block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
