@@ -33,6 +33,10 @@ def _cfg_from_args(args) -> "MotionConfig":
         interp_factor=args.interp,
         regularizer=args.regularizer,
         sweeps_per_round=args.sweeps,
+        rival_window=args.rival,
+        rival_radius=args.rival_radius,
+        mv_cap=args.mv_cap,
+        cv_compact=args.cv_compact,
     )
 
 
@@ -45,6 +49,16 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--regularizer", default="fourcolor",
                    choices=["exact", "fourcolor", "jacobi", "windowed"])
     p.add_argument("--sweeps", type=int, default=2, help="sweeps per subdivision round")
+    p.add_argument("--rival", action="store_true",
+                   help="rival windows: close the windowed path's accuracy "
+                        "gap at motion discontinuities (see config docs)")
+    p.add_argument("--rival-radius", type=int, default=None,
+                   help="rival CV radius (default: the primary radius)")
+    p.add_argument("--mv-cap", type=int, default=None,
+                   help="cap cross-level MV predictions (bounds tiled halos)")
+    p.add_argument("--cv-compact", type=int, default=None,
+                   help="K-slot compact cost volumes (capacity mode for "
+                        "very large frames; see config docs)")
 
 
 def cmd_estimate(args) -> int:
