@@ -24,14 +24,24 @@ else:
         block_sizes=(16, 16), search_sizes=(32, 32), interp_factor=1
     )
 
-# full mode runs only the windowed production path: the gather-based
+# full mode runs only the windowed-family paths: the gather-based
 # fourcolor path at the 4x-interpolated resolution issues pathological
-# per-candidate gathers (it crashed a TPU worker once) and exists for
-# parity, not production; quick mode compares both.
-regs = ("windowed",) if mode == "full" else ("windowed", "fourcolor")
+# per-candidate gathers (it crashed a TPU worker once) - its full-config
+# column comes from the CPU runner (run_fourcolor_full_cpu.py); quick mode
+# compares everything directly.
+if mode == "full":
+    variants = [
+        ("windowed", base.replace(regularizer="windowed")),
+        ("rival", base.replace(regularizer="windowed", rival_window=True)),
+    ]
+else:
+    variants = [
+        ("windowed", base.replace(regularizer="windowed")),
+        ("rival", base.replace(regularizer="windowed", rival_window=True)),
+        ("fourcolor", base.replace(regularizer="fourcolor")),
+    ]
 rows = []
-for reg in regs:
-    cfg = base.replace(regularizer=reg)
+for reg, cfg in variants:
     t0 = time.time()
     results = evaluate.evaluate_middlebury(GT_DIR, cfg)
     dt = time.time() - t0
