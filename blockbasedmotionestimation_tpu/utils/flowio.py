@@ -247,11 +247,21 @@ def read_gray(path: str | os.PathLike) -> np.ndarray:
         return img
     except ImportError:
         pass
-    if path.lower().endswith((".pgm", ".ppm")):
-        from blockbasedmotionestimation_tpu.utils import native_io
+    from blockbasedmotionestimation_tpu.utils import native_io
 
-        if native_io.available():
-            return native_io.read_pgm(path)
+    lower = path.lower()
+    if lower.endswith((".pgm", ".ppm")) and native_io.available():
+        return native_io.read_pgm(path)
+    if lower.endswith((".png", ".tga")) and native_io.available():
+        # Use the native codec only for already-gray files: color->gray weights
+        # must stay consistent with the cv2/PIL conversions used elsewhere.
+        try:
+            reader = native_io.read_png if lower.endswith(".png") else native_io.read_tga
+            img = reader(path)
+            if img.ndim == 2:
+                return img
+        except native_io.NativeIOError:
+            pass
     from PIL import Image
 
     return np.asarray(Image.open(path).convert("L"))
@@ -269,11 +279,18 @@ def write_image(path: str | os.PathLike, img: np.ndarray) -> None:
         return
     except ImportError:
         pass
-    if path.lower().endswith(".pgm") and img.ndim == 2:
-        from blockbasedmotionestimation_tpu.utils import native_io
+    from blockbasedmotionestimation_tpu.utils import native_io
 
-        if native_io.available():
+    lower = path.lower()
+    if native_io.available():
+        if lower.endswith(".pgm") and img.ndim == 2:
             native_io.write_pgm(path, img)
+            return
+        if lower.endswith(".png"):
+            native_io.write_png(path, img)
+            return
+        if lower.endswith(".tga") and (img.ndim == 2 or img.shape[-1] != 2):
+            native_io.write_tga(path, img)
             return
     from PIL import Image
 

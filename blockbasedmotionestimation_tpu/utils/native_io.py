@@ -29,6 +29,9 @@ _ERRORS = {
     -5: "file too long",
     -6: "write failed",
     -7: "bad argument",
+    -8: "unsupported format variant",
+    -9: "corrupt file",
+    -10: "zlib error",
 }
 
 
@@ -80,6 +83,16 @@ def _load() -> ctypes.CDLL | None:
         lib.bbme_pgm_write.argtypes = [ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int]
         lib.bbme_average_epe.argtypes = [f32p, f32p, ctypes.c_longlong]
         lib.bbme_average_epe.restype = ctypes.c_double
+        for name in ("bbme_png_dims", "bbme_tga_dims"):
+            getattr(lib, name).argtypes = [ctypes.c_char_p, i32p, i32p, i32p]
+        for name in ("bbme_png_read", "bbme_tga_read", "bbme_png_write"):
+            getattr(lib, name).argtypes = [
+                ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+        lib.bbme_tga_write.argtypes = [
+            ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -142,6 +155,61 @@ def write_pgm(path: str | os.PathLike, img: np.ndarray) -> None:
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = img.shape
     _check(lib.bbme_pgm_write(os.fspath(path).encode(), img, w, h), path)
+
+
+def _read_image(path, dims_fn: str, read_fn: str) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    p = os.fspath(path).encode()
+    w, h, ch = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+    _check(getattr(lib, dims_fn)(p, ctypes.byref(w), ctypes.byref(h), ctypes.byref(ch)), path)
+    out = np.empty((h.value, w.value, ch.value), dtype=np.uint8)
+    _check(getattr(lib, read_fn)(p, out, w.value, h.value, ch.value), path)
+    return out[..., 0] if ch.value == 1 else out
+
+
+def _as_hwc(img: np.ndarray) -> np.ndarray:
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.ndim != 3 or img.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"expected (H, W[, C<=4]) uint8 image, got {img.shape}")
+    return img
+
+
+def read_png(path: str | os.PathLike) -> np.ndarray:
+    """8-bit non-interlaced PNG -> (H, W) gray or (H, W, C) uint8.
+
+    Native analogue of imageLib's ``ImageIOpng.cpp`` reader (gray / gray+A /
+    RGB / RGBA; palette and 16-bit rejected with a clear error).
+    """
+    return _read_image(path, "bbme_png_dims", "bbme_png_read")
+
+
+def write_png(path: str | os.PathLike, img: np.ndarray) -> None:
+    img = _as_hwc(img)
+    h, w, ch = img.shape
+    lib = _load()
+    assert lib is not None
+    _check(lib.bbme_png_write(os.fspath(path).encode(), img, w, h, ch), path)
+
+
+def read_tga(path: str | os.PathLike) -> np.ndarray:
+    """Targa types 2/3/10/11 -> top-down (H, W[, C]) uint8, RGB(A) order."""
+    return _read_image(path, "bbme_tga_dims", "bbme_tga_read")
+
+
+def write_tga(path: str | os.PathLike, img: np.ndarray, rle: bool = True) -> None:
+    img = _as_hwc(img)
+    h, w, ch = img.shape
+    if ch == 2:
+        raise ValueError("Targa has no gray+alpha pixel format")
+    lib = _load()
+    assert lib is not None
+    _check(
+        lib.bbme_tga_write(os.fspath(path).encode(), img, w, h, ch, int(rle)),
+        path,
+    )
 
 
 def average_epe(gt: np.ndarray, flow: np.ndarray) -> float:
