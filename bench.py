@@ -8,14 +8,18 @@ to 1px blocks.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline: the reference publishes no wall-clock numbers (SURVEY.md section 6);
-the denominator is a documented engineering estimate of the single-threaded
-C++ reference on this workload: ~2.3 GSAD-ops for the level-0 search alone
-plus 40 regularization sweeps puts it at >= 10 s/field on a VS2013-era CPU,
-i.e. 0.1 fields/s.  vs_baseline = measured_fields_per_sec / 0.1.
+vs_baseline: the reference publishes no wall-clock numbers (SURVEY.md section
+6), so the denominator is MEASURED: a single-threaded portable C++ replica of
+the reference pipeline (spiral SAD search + fast_array cache + Gauss-Seidel
+sweeps, ``native/baseline_ref.cpp``), built with g++ -O3 and timed at this
+exact workload on this machine's Xeon - 0.522 s/field = 1.915 fields/s
+(``native/BASELINE_CPP.json``; the VS2013-era CPU the reference actually ran
+on would be several times slower, so the ratio is conservative).
+vs_baseline = measured_fields_per_sec / baseline_fields_per_sec.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -30,7 +34,18 @@ import jax.numpy as jnp
 from blockbasedmotionestimation_tpu.config import MotionConfig
 from blockbasedmotionestimation_tpu.models.engine import estimate_flow_batched
 
-_BASELINE_FIELDS_PER_SEC = 0.1  # documented estimate, see module docstring
+
+def _baseline_fields_per_sec() -> float:
+    """Measured C++ single-thread rate (see module docstring)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "blockbasedmotionestimation_tpu", "native", "BASELINE_CPP.json",
+    )
+    with open(path) as f:
+        return float(json.load(f)["fields_per_sec"])
+
+
+_BASELINE_FIELDS_PER_SEC = _baseline_fields_per_sec()
 
 H, W = 1080, 1920
 
@@ -86,6 +101,8 @@ def main() -> None:
                 "value": round(fields_per_sec, 4),
                 "unit": "fields/s",
                 "vs_baseline": round(fields_per_sec / _BASELINE_FIELDS_PER_SEC, 3),
+                "baseline_fields_per_sec": _BASELINE_FIELDS_PER_SEC,
+                "baseline_kind": "measured single-thread C++ replica (native/BASELINE_CPP.json)",
                 "floor_ms_per_field": round(floor["floor_s"] * 1e3, 2),
                 "sol_fraction": round(floor["floor_s"] / dt, 4),
             }

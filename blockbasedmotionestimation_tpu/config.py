@@ -80,6 +80,17 @@ class MotionConfig:
         ~cap + 2*S_l rows and level 0 shards at 1080p.  Choose it above the
         true motion range at the processed resolution (like a codec's search
         range); None (default) preserves the uncapped reference model.
+      cv_fused: chunk-fused fine rounds (``kernels.fused_step``): rounds with
+        sub-block size cur <= cv_fused recompute their candidate costs inside
+        the color-step kernel from VMEM-resident window slabs, so the dense
+        cur<=cv_fused cost volumes (the HBM capacity/traffic dominators - the
+        cur=2 volume alone is ~1.1 GB per 1080p frame) are NEVER
+        materialized.  Bit-identical to the dense path (same diffs, same
+        winner selection); per-step compute is bounded by the delta bounding
+        box each tile's candidates span.  Composes with rival windows (the
+        rival slab is recomputed the same way) and removes the dense path's
+        batch/resolution HBM cliffs.  Requires the fused pallas path,
+        untiled, bs % 8 == 0; typical value 4.  None = dense volumes.
       rival_window: ``windowed`` mode only.  Gather a SECOND frame-2 window
         per parent, centered on its most-different 8-neighbor search MV, and
         evaluate candidates outside the primary window against it.  Closes
@@ -120,6 +131,7 @@ class MotionConfig:
     mv_cap: int | None = None
     cv_compact: int | None = None
     cv_compact_ring: int = 3
+    cv_fused: int | None = None
 
     def __post_init__(self) -> None:
         if len(self.block_sizes) != len(self.search_sizes):
@@ -136,6 +148,14 @@ class MotionConfig:
                 raise ValueError(f"search size {ss} must be >= block size {bs}")
         if self.interp_factor < 1:
             raise ValueError("interp_factor must be >= 1")
+        if self.cv_fused is not None:
+            if self.cv_fused < 2:
+                raise ValueError("cv_fused must be >= 2 (sub-block size)")
+            if self.cv_compact is not None:
+                raise ValueError(
+                    "cv_fused and cv_compact are mutually exclusive cost-"
+                    "volume strategies"
+                )
         if self.mv_cap is not None and self.mv_cap < max(
             ss - bs for bs, ss in zip(self.block_sizes, self.search_sizes)
         ):

@@ -334,6 +334,149 @@ def full_block_volume(
     )(patches_in, wplanes)
 
 
+def _diff_kernel_deep(patches_ref, wplanes_ref, *out_refs, bs, ext, r, cost,
+                      emit_curs):
+    """Diff pass emitting ONLY the coarse volumes (cur in ``emit_curs``).
+
+    Serves the chunk-fused mode (``kernels.fused_step``): the fine rounds
+    (cur <= cv_fused) recompute their candidate costs in the color-step
+    kernel itself, so their dense volumes are never materialized - this
+    kernel runs the same parity-plane diff pass as ``_diff_kernel_static``
+    but pools each delta column straight down to the coarse sizes + the
+    cur == bs search volume, writing a tiny fraction of the HBM traffic.
+
+    emit_curs: ascending sub-block sizes to emit; sizes < bs store the split
+    chunk-major layout, ``bs`` stores the legacy unsplit search layout.
+    """
+    dy = pl.program_id(1)
+    side = 2 * r + 1
+    q4 = bs // 4
+    s2 = bs // 2
+    cb = patches_ref.shape[-1]
+    bp = [patches_ref[p].astype(jnp.int32) for p in range(4)]
+    wq = [wplanes_ref[c, pl.ds(ext - r + dy, bs), :, :] for c in range(4)]
+
+    for dx in range(side):
+        halves = []
+        for bx in range(2):
+            acc = None
+            for p in (2 * bx, 2 * bx + 1):
+                c = (p + dx) % 4
+                off = (p + dx) // 4
+                d = bp[p] - wq[c][:, off : off + q4, :].astype(jnp.int32)
+                d = jnp.abs(d) if cost == "sad" else d * d
+                acc = d if acc is None else acc + d
+            halves.append(acc.reshape(s2, 2, q4, cb).sum(axis=1))
+        # cur=4 map; deeper sizes pool on the shrinking cell grid
+        pool = (halves[0] + halves[1]).reshape(q4, 2, q4, cb).sum(axis=1)
+        cur, s, k = 4, q4, 0
+        while cur <= bs:
+            if cur in emit_curs:
+                dt = out_refs[k].dtype
+                if cur <= bs // 2:
+                    pr = pool.reshape(s // 2, 2, s // 2, 2, cb)
+                    for bx in range(2):
+                        out_refs[k][:, :, bx, 0, 0, dx] = pr[:, :, :, bx].astype(dt)
+                else:  # cur == bs: the search volume, unsplit layout
+                    out_refs[k][0, dx, 0, 0] = pool[0, 0].astype(dt)
+                k += 1
+            cur <<= 1
+            if cur <= bs:
+                pool = pool.reshape(s // 2, 2, s // 2, 2, cb).sum(axis=(1, 3))
+                s >>= 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bs", "ext", "r", "cost", "fuse_max", "interpret"),
+)
+def deep_pooled_cvs(
+    patches_t: jnp.ndarray,  # (bs, bs, nP) i16
+    windows_t: jnp.ndarray,  # (win, win, nP) i16
+    bs: int,
+    ext: int,
+    r: int,
+    fuse_max: int,
+    cost: str = "sad",
+    interpret: bool = False,
+) -> dict[int, jnp.ndarray]:
+    """Coarse volumes {cur > fuse_max} + the cur == bs search volume only.
+
+    Chunk-fused companion of ``delta_pooled_cvs``: sizes <= fuse_max are
+    recomputed inside the fused color-step kernel and never stored.
+    """
+    cb = 128
+    n_p = patches_t.shape[-1]
+    win = windows_t.shape[0]
+    side = 2 * r + 1
+    npad = -n_p % cb
+    if npad:
+        patches_t = jnp.pad(patches_t, ((0, 0), (0, 0), (0, npad)))
+        windows_t = jnp.pad(windows_t, ((0, 0), (0, 0), (0, npad)))
+    n = n_p + npad
+    nch = n // cb
+    ngroups = (side + 7) // 8
+    cols = 8 * ngroups + bs
+    wslab = windows_t[:, ext - r :, :]
+    pad_c = cols - wslab.shape[1]
+    if pad_c > 0:
+        wslab = jnp.pad(wslab, ((0, 0), (0, pad_c), (0, 0)))
+    else:
+        wslab = wslab[:, :cols, :]
+    q4 = bs // 4
+    patches_in = patches_t.reshape(bs, q4, 4, n).transpose(2, 0, 1, 3)
+    wplanes = wslab.reshape(win, cols // 4, 4, n).transpose(2, 0, 1, 3)
+
+    emit_curs = tuple(
+        c for c in (4, 8, 16, 32, 64, 128) if fuse_max < c < bs
+    ) + (bs,)
+    out_specs, out_shape = [], []
+    for c in emit_curs:
+        s = bs // c
+        if c <= bs // 2:
+            out_specs.append(
+                pl.BlockSpec((s // 2, 2, 2, 1, 1, side, s // 2, cb),
+                             lambda i, j: (0, 0, 0, i, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct(
+                    (s // 2, 2, 2, nch, side, side, s // 2, cb),
+                    cv_dtype(c, cost),
+                )
+            )
+        else:
+            out_specs.append(
+                pl.BlockSpec((1, side, 1, 1, cb), lambda i, j: (j, 0, 0, 0, i),
+                             memory_space=pltpu.VMEM)
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct((side, side, 1, 1, n), cv_dtype(c, cost))
+            )
+    outs = pl.pallas_call(
+        functools.partial(
+            _diff_kernel_deep, bs=bs, ext=ext, r=r, cost=cost,
+            emit_curs=emit_curs,
+        ),
+        grid=(nch, side),
+        in_specs=[
+            pl.BlockSpec((4, bs, q4, cb), lambda i, j: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, win, cols // 4, cb), lambda i, j: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(patches_in, wplanes)
+    if not isinstance(outs, (list, tuple)):
+        outs = [outs]
+    return dict(zip(emit_curs, outs))
+
+
 def _compact_kernel(dv_ref, patches_ref, wslab_ref, *out_refs, bs,
                     ext, r, k_slots, cost):
     """Pooled cost tables at ONLY the chunk's K slot deltas, every

@@ -73,7 +73,7 @@ def _run_level(
             im1, im2, pred, bs, ss, lam0f, cfg.sweeps_per_round,
             cost=cfg.cost, impl=cfg.search_impl, rival=cfg.rival_window,
             rival_radius=cfg.rival_radius, compact=cfg.cv_compact,
-            compact_ring=cfg.cv_compact_ring,
+            compact_ring=cfg.cv_compact_ring, fuse=cfg.cv_fused,
         )
     grid = block_search_level(
         im1, im2, pred, bs, ss, impl=cfg.search_impl, order=cfg.search_order,

@@ -33,7 +33,21 @@ enum ErrorCode : int {
   kUnsupported = -8,
   kCorrupt = -9,
   kZlibError = -10,
+  kNoMem = -11,
 };
+
+// Keep the no-exceptions error contract even under allocation failure:
+// std::bad_alloc from the std::vector buffers must not escape the C ABI.
+template <typename Fn>
+int guarded(Fn&& fn) {
+  try {
+    return fn();
+  } catch (const std::bad_alloc&) {
+    return kNoMem;
+  } catch (...) {
+    return kCorrupt;
+  }
+}
 
 struct File {
   std::FILE* f;
@@ -77,27 +91,41 @@ int channels_for_color_type(int ct) {
 }
 
 // Parse signature + chunks.  With want_data, collects the IDAT stream and
-// verifies each chunk's CRC; otherwise stops after IHDR.
+// verifies the needed chunks' CRCs; otherwise stops after IHDR.  Chunks that
+// are not needed (ancillary, or anything past IHDR in dims-only mode) are
+// fseek'd past without buffering, and total IDAT accumulation is capped by
+// the decoded size's zlib expansion bound, so a hostile header cannot force
+// gigabyte allocations before validation.
 int png_parse(std::FILE* f, PngInfo* info, bool want_data) {
   unsigned char sig[8];
   if (std::fread(sig, 1, 8, f) != 8) return kShortRead;
   if (std::memcmp(sig, kPngSig, 8) != 0) return kBadMagic;
   bool saw_ihdr = false, saw_iend = false;
+  std::uint64_t idat_cap = 0;
   while (!saw_iend) {
     unsigned char hdr[8];
     if (std::fread(hdr, 1, 8, f) != 8) return kShortRead;
     const std::uint32_t len = be32(hdr);
     if (len > (1u << 30)) return kCorrupt;
-    std::vector<unsigned char> data(len);
-    if (len && std::fread(data.data(), 1, len, f) != len) return kShortRead;
-    unsigned char crcb[4];
-    if (std::fread(crcb, 1, 4, f) != 4) return kShortRead;
-    if (want_data) {
+    const bool is_ihdr = std::memcmp(hdr + 4, "IHDR", 4) == 0;
+    const bool is_idat = std::memcmp(hdr + 4, "IDAT", 4) == 0;
+    const bool is_iend = std::memcmp(hdr + 4, "IEND", 4) == 0;
+    const bool need = is_ihdr || (want_data && is_idat);
+    std::vector<unsigned char> data;
+    if (need) {
+      data.resize(len);
+      if (len && std::fread(data.data(), 1, len, f) != len) return kShortRead;
+      unsigned char crcb[4];
+      if (std::fread(crcb, 1, 4, f) != 4) return kShortRead;
       uLong crc = crc32(0L, hdr + 4, 4);
       if (len) crc = crc32(crc, data.data(), len);
       if (crc != be32(crcb)) return kCorrupt;
+    } else {
+      // skip payload + CRC without buffering (ancillary chunks etc.)
+      if (std::fseek(f, static_cast<long>(len) + 4, SEEK_CUR) != 0)
+        return kShortRead;
     }
-    if (std::memcmp(hdr + 4, "IHDR", 4) == 0) {
+    if (is_ihdr) {
       if (len != 13) return kCorrupt;
       info->w = static_cast<int>(be32(&data[0]));
       info->h = static_cast<int>(be32(&data[4]));
@@ -109,15 +137,22 @@ int png_parse(std::FILE* f, PngInfo* info, bool want_data) {
       if (depth != 8 || interlace != 0) return kUnsupported;  // no 16-bit/Adam7
       info->channels = channels_for_color_type(color);
       if (info->channels == 0) return kUnsupported;  // palette
+      // compressed stream cannot usefully exceed the decoded size plus the
+      // zlib worst-case expansion margin
+      const std::uint64_t decoded =
+          static_cast<std::uint64_t>(info->h) *
+          (static_cast<std::uint64_t>(info->w) * info->channels + 1);
+      idat_cap = decoded + decoded / 8 + (1u << 16);
       saw_ihdr = true;
       if (!want_data) return kOk;
-    } else if (std::memcmp(hdr + 4, "IDAT", 4) == 0) {
+    } else if (is_idat) {
       if (!saw_ihdr) return kCorrupt;
+      if (static_cast<std::uint64_t>(info->idat.size()) + len > idat_cap)
+        return kLongFile;
       info->idat.insert(info->idat.end(), data.begin(), data.end());
-    } else if (std::memcmp(hdr + 4, "IEND", 4) == 0) {
+    } else if (is_iend) {
       saw_iend = true;
     }
-    // ancillary chunks (tEXt, gAMA, ...) are skipped
   }
   if (!saw_ihdr || (want_data && info->idat.empty())) return kCorrupt;
   return kOk;
@@ -215,6 +250,7 @@ int tga_parse_header(std::FILE* f, TgaInfo* t) {
   const int bpp = h[16];
   const int descr = h[17];
   t->top_down = (descr & 0x20) != 0;
+  if ((descr & 0xC0) != 0) return kUnsupported;  // legacy 2/4-way interleave
   if (cmap_type != 0) return kUnsupported;  // no palettes
   if (t->w < 1 || t->w > kMaxDim || t->h < 1 || t->h > kMaxDim) return kBadDims;
   switch (t->img_type) {
@@ -284,33 +320,46 @@ extern "C" {
 // ---- PNG API ----------------------------------------------------------------
 
 int bbme_png_dims(const char* path, int* w, int* h, int* channels) {
-  File fp(path, "rb");
-  if (!fp.f) return kOpenFailed;
-  PngInfo info;
-  if (int rc = png_parse(fp.f, &info, /*want_data=*/false)) return rc;
-  *w = info.w;
-  *h = info.h;
-  *channels = info.channels;
-  return kOk;
+  return guarded([&]() -> int {
+    File fp(path, "rb");
+    if (!fp.f) return kOpenFailed;
+    PngInfo info;
+    if (int rc = png_parse(fp.f, &info, /*want_data=*/false)) return rc;
+    *w = info.w;
+    *h = info.h;
+    *channels = info.channels;
+    return kOk;
+  });
 }
 
 // out must hold w*h*channels bytes (row-major, RGB(A)/gray interleaved).
 int bbme_png_read(const char* path, unsigned char* out, int w, int h,
                   int channels) {
-  File fp(path, "rb");
-  if (!fp.f) return kOpenFailed;
-  PngInfo info;
-  if (int rc = png_parse(fp.f, &info, /*want_data=*/true)) return rc;
-  if (info.w != w || info.h != h || info.channels != channels) return kBadDims;
-  const size_t stride = static_cast<size_t>(w) * channels;
-  std::vector<unsigned char> raw(static_cast<size_t>(h) * (stride + 1));
-  if (int rc = zlib_inflate_all(info.idat, raw)) return rc;
-  return png_unfilter(raw, w, h, channels, out);
+  return guarded([&]() -> int {
+    File fp(path, "rb");
+    if (!fp.f) return kOpenFailed;
+    PngInfo info;
+    if (int rc = png_parse(fp.f, &info, /*want_data=*/true)) return rc;
+    if (info.w != w || info.h != h || info.channels != channels)
+      return kBadDims;
+    const size_t stride = static_cast<size_t>(w) * channels;
+    std::vector<unsigned char> raw(static_cast<size_t>(h) * (stride + 1));
+    if (int rc = zlib_inflate_all(info.idat, raw)) return rc;
+    return png_unfilter(raw, w, h, channels, out);
+  });
 }
+
+static int png_write_impl(const char* path, const unsigned char* data, int w,
+                          int h, int channels);
 
 // data: w*h*channels bytes, channels in {1,2,3,4} -> gray/gray+A/RGB/RGBA.
 int bbme_png_write(const char* path, const unsigned char* data, int w, int h,
                    int channels) {
+  return guarded([&]() -> int { return png_write_impl(path, data, w, h, channels); });
+}
+
+static int png_write_impl(const char* path, const unsigned char* data, int w,
+                          int h, int channels) {
   static const int kColorType[5] = {-1, 0, 4, 2, 6};
   if (w < 1 || w > kMaxDim || h < 1 || h > kMaxDim || channels < 1 ||
       channels > 4)
@@ -338,51 +387,72 @@ int bbme_png_write(const char* path, const unsigned char* data, int w, int h,
   ihdr[9] = static_cast<unsigned char>(kColorType[channels]);
   ihdr[10] = ihdr[11] = ihdr[12] = 0;  // compression/filter/interlace
   if (int rc = write_chunk(fp.f, "IHDR", ihdr, 13)) return rc;
-  if (int rc = write_chunk(fp.f, "IDAT", zbuf.data(),
-                           static_cast<std::uint32_t>(zcap)))
-    return rc;
+  // split the zlib stream into <= 1 GiB IDAT chunks: a single chunk's length
+  // field is uint32 (< 2^31 per spec), which huge images could overflow
+  const uLongf kChunkMax = 1u << 30;
+  for (uLongf off = 0; off < zcap; off += kChunkMax) {
+    const uLongf n = zcap - off < kChunkMax ? zcap - off : kChunkMax;
+    if (int rc = write_chunk(fp.f, "IDAT", zbuf.data() + off,
+                             static_cast<std::uint32_t>(n)))
+      return rc;
+  }
   return write_chunk(fp.f, "IEND", nullptr, 0);
 }
 
 // ---- Targa API ---------------------------------------------------------------
 
 int bbme_tga_dims(const char* path, int* w, int* h, int* channels) {
-  File fp(path, "rb");
-  if (!fp.f) return kOpenFailed;
-  TgaInfo t;
-  if (int rc = tga_parse_header(fp.f, &t)) return rc;
-  *w = t.w;
-  *h = t.h;
-  *channels = t.channels;
-  return kOk;
+  return guarded([&]() -> int {
+    File fp(path, "rb");
+    if (!fp.f) return kOpenFailed;
+    TgaInfo t;
+    if (int rc = tga_parse_header(fp.f, &t)) return rc;
+    *w = t.w;
+    *h = t.h;
+    *channels = t.channels;
+    return kOk;
+  });
 }
 
 // out must hold w*h*channels bytes; truecolor is returned as RGB(A) and rows
 // are top-down regardless of the file's origin bit.
 int bbme_tga_read(const char* path, unsigned char* out, int w, int h,
                   int channels) {
-  File fp(path, "rb");
-  if (!fp.f) return kOpenFailed;
-  TgaInfo t;
-  if (int rc = tga_parse_header(fp.f, &t)) return rc;
-  if (t.w != w || t.h != h || t.channels != channels) return kBadDims;
-  if (t.id_len && std::fseek(fp.f, t.id_len, SEEK_CUR) != 0) return kShortRead;
-  std::vector<unsigned char> buf;
-  if (int rc = tga_decode_pixels(fp.f, t, buf)) return rc;
-  const size_t stride = static_cast<size_t>(w) * channels;
-  for (int y = 0; y < h; ++y) {
-    const int src_y = t.top_down ? y : h - 1 - y;
-    unsigned char* dst = out + static_cast<size_t>(y) * stride;
-    std::memcpy(dst, buf.data() + static_cast<size_t>(src_y) * stride, stride);
-    bgr_swap(dst, w, channels);
-  }
-  return kOk;
+  return guarded([&]() -> int {
+    File fp(path, "rb");
+    if (!fp.f) return kOpenFailed;
+    TgaInfo t;
+    if (int rc = tga_parse_header(fp.f, &t)) return rc;
+    if (t.w != w || t.h != h || t.channels != channels) return kBadDims;
+    if (t.id_len && std::fseek(fp.f, t.id_len, SEEK_CUR) != 0)
+      return kShortRead;
+    std::vector<unsigned char> buf;
+    if (int rc = tga_decode_pixels(fp.f, t, buf)) return rc;
+    const size_t stride = static_cast<size_t>(w) * channels;
+    for (int y = 0; y < h; ++y) {
+      const int src_y = t.top_down ? y : h - 1 - y;
+      unsigned char* dst = out + static_cast<size_t>(y) * stride;
+      std::memcpy(dst, buf.data() + static_cast<size_t>(src_y) * stride,
+                  stride);
+      bgr_swap(dst, w, channels);
+    }
+    return kOk;
+  });
 }
 
 // data: top-down RGB(A) or gray; rle selects run-length packets (types 10/11)
 // vs raw (types 2/3).  Written with the top-down origin bit set.
+static int tga_write_impl(const char* path, const unsigned char* data, int w,
+                          int h, int channels, int rle);
+
 int bbme_tga_write(const char* path, const unsigned char* data, int w, int h,
                    int channels, int rle) {
+  return guarded(
+      [&] { return tga_write_impl(path, data, w, h, channels, rle); });
+}
+
+static int tga_write_impl(const char* path, const unsigned char* data, int w,
+                          int h, int channels, int rle) {
   if (w < 1 || w > kMaxDim || h < 1 || h > kMaxDim ||
       (channels != 1 && channels != 3 && channels != 4))
     return kBadArg;

@@ -245,6 +245,7 @@ def _pallas_round_pm(
     r2: int = 0,
     dv_slots: jnp.ndarray | None = None,  # compact mode: (nch, K, 2) slots
     k_slots: int = 0,
+    fused_in: dict | None = None,  # chunk-fused mode: VMEM slab inputs
 ) -> jnp.ndarray:
     """Sub-divided rounds (f >= 2) in PARENT-MAJOR cell layout.
 
@@ -254,6 +255,10 @@ def _pallas_round_pm(
     candidate tensor (a few MB) is transposed between the grid layout and
     the cell layout.
     """
+    from blockbasedmotionestimation_tpu.kernels.fused_step import (
+        windowed_color_step_pm_fused,
+        windowed_color_step_pm_fused_rival,
+    )
     from blockbasedmotionestimation_tpu.kernels.reg_step import (
         windowed_color_step_pm,
         windowed_color_step_pm_compact,
@@ -310,7 +315,8 @@ def _pallas_round_pm(
     oy_cell = jnp.stack(oy_cell)
     ox_cell = jnp.stack(ox_cell)
     pm_lane = padp(parent_mv.transpose(2, 0, 1).reshape(2, n_p).astype(jnp.int32))
-    if rcvq is not None:
+    fused_rival = fused_in is not None and "rwslab" in fused_in
+    if rcvq is not None or fused_rival:
         rpm_lane = padp(rbase.transpose(2, 0, 1).reshape(2, n_p).astype(jnp.int32))
 
     lam_sweeps = jnp.asarray(
@@ -379,7 +385,23 @@ def _pallas_round_pm(
                     jnp.asarray(row0_b, jnp.int32),
                 ]
             )
-            if dv_slots is not None:
+            if fused_in is not None:
+                if fused_rival:
+                    new_mv = windowed_color_step_pm_fused_rival(
+                        sc, lam_mult, fused_in["patches_pl"],
+                        fused_in["wslab"], fused_in["rwslab"], cands,
+                        pm_lane, rpm_lane, present_pm, rank_pm, oy_cell,
+                        ox_cell, bs, fused_in["ext"], r, r2, cur,
+                        fused_in["cost"], h, w, interpret=interp,
+                    )
+                else:
+                    new_mv = windowed_color_step_pm_fused(
+                        sc, lam_mult, fused_in["patches_pl"],
+                        fused_in["wslab"], cands, pm_lane, present_pm,
+                        rank_pm, oy_cell, ox_cell, bs, fused_in["ext"], r,
+                        cur, fused_in["cost"], h, w, interpret=interp,
+                    )
+            elif dv_slots is not None:
                 new_mv = windowed_color_step_pm_compact(
                     sc, dv_slots, lam_mult, cv_in, cands, pm_lane,
                     present_pm, rank_pm, oy_cell, ox_cell,
@@ -696,6 +718,8 @@ def _rounds_loop(
     compact_cvs: dict[int, jnp.ndarray] | None = None,
     dv_slots: jnp.ndarray | None = None,
     k_slots: int = 0,
+    fused_in: dict | None = None,
+    fuse_max: int = 0,
 ) -> jnp.ndarray:
     """The subdivision rounds of the windowed schedule (see module docstring).
 
@@ -724,13 +748,25 @@ def _rounds_loop(
             # the cell-layout lane rolls cannot see.
             round_fn = _pallas_round_pm if (f >= 2 and untiled) else _pallas_round
             rkw = {}
-            if rcvs_pallas is not None:
+            use_fused = (
+                fused_in is not None and cur <= fuse_max
+                and f >= 2 and untiled
+            )
+            if use_fused:
+                # chunk-fused round: no cost volume exists for this cur -
+                # the color-step kernel recomputes candidate costs from the
+                # VMEM-resident window slabs (kernels.fused_step)
+                vol = None
+                rkw = dict(fused_in=fused_in)
+                if "rwslab" in fused_in:
+                    rkw.update(rbase=rbase, r2=r2)
+            elif rcvs_pallas is not None:
                 rkw = dict(rcvq=rcvs_pallas.pop(cur), rbase=rbase, r2=r2)
             if compact_cvs is not None and cur in compact_cvs:
                 vol = compact_cvs.pop(cur)
                 cvs_pallas.pop(cur, None)
                 rkw = dict(dv_slots=dv_slots, k_slots=k_slots)
-            else:
+            elif not use_fused:
                 vol = cvs_pallas.pop(cur)
             grid = round_fn(
                 grid, vol, parent_mv,
@@ -886,6 +922,7 @@ def windowed_level(
     rival_radius: int | None = None,
     compact: int | None = None,
     compact_ring: int = 3,
+    fuse: int | None = None,
 ) -> jnp.ndarray:
     """Fused block search + windowed regularization from ONE cost volume.
 
@@ -960,6 +997,15 @@ def windowed_level(
         and not rival
         and bs >= 8
     )
+    use_fused_cv = (
+        fuse is not None
+        and impl in ("pallas", "pallas_interpret")
+        and untiled
+        and not use_compact
+        and bs % 8 == 0
+    )
+    fuse_eff = min(fuse, bs // 2) if use_fused_cv else 0
+    fused_in = None
     if impl in ("pallas", "pallas_interpret"):
         if use_compact:
             # compact mode: ONLY the search volume is dense; every
@@ -976,6 +1022,29 @@ def windowed_level(
                     patches_tt, windows_tt, bs, ext, ext, cost,
                     interpret=(impl == "pallas_interpret"),
                 )
+            }
+        elif use_fused_cv:
+            # chunk-fused mode: only the coarse (cur > fuse_eff) volumes and
+            # the search volume are dense; the fine rounds recompute their
+            # costs on VMEM-resident window slabs (kernels.fused_step)
+            from blockbasedmotionestimation_tpu.kernels.cv_diff import (
+                deep_pooled_cvs,
+            )
+            from blockbasedmotionestimation_tpu.kernels.fused_step import (
+                prep_slabs,
+            )
+
+            wside = windows.shape[3]
+            patches_tt = patches1.reshape(nblk, bs, bs).transpose(1, 2, 0)
+            windows_tt = windows.reshape(nblk, wside, wside).transpose(1, 2, 0)
+            cvs_pallas = deep_pooled_cvs(
+                patches_tt, windows_tt, bs, ext, ext, fuse_eff, cost,
+                interpret=(impl == "pallas_interpret"),
+            )
+            f_patches, f_wslab = prep_slabs(patches_tt, windows_tt, bs, ext, ext)
+            fused_in = {
+                "patches_pl": f_patches, "wslab": f_wslab,
+                "ext": ext, "cost": cost,
             }
         else:
             cvs_pallas = _all_round_cvs_pallas(
@@ -1055,7 +1124,28 @@ def windowed_level(
             .reshape(npy, npx, bs + 2 * r2, bs + 2 * r2)
         )
         rbase = jnp.stack([rvx - ox, (rvy + im2_row0) - oy], axis=-1)
-        if cvs_pallas is not None:
+        if fused_in is not None:
+            # fused rival: coarse rival volumes dense, fine ones recomputed
+            # against the VMEM-resident rival slab
+            from blockbasedmotionestimation_tpu.kernels.cv_diff import (
+                deep_pooled_cvs,
+            )
+            from blockbasedmotionestimation_tpu.kernels.fused_step import (
+                prep_slabs,
+            )
+
+            rwside = rwindows.shape[3]
+            rwindows_tt = (
+                rwindows.reshape(nblk, rwside, rwside).transpose(1, 2, 0)
+            )
+            rcvs_pallas = deep_pooled_cvs(
+                patches_tt, rwindows_tt, bs, r2, r2, fuse_eff, cost,
+                interpret=(impl == "pallas_interpret"),
+            )
+            fused_in["rwslab"] = prep_slabs(
+                patches_tt, rwindows_tt, bs, r2, r2
+            )[1]
+        elif cvs_pallas is not None:
             rcvs_pallas = _all_round_cvs_pallas(
                 patches1, rwindows, bs, r2, r2, cost,
                 interpret=(impl == "pallas_interpret"),
@@ -1067,4 +1157,5 @@ def windowed_level(
         rwindows=rwindows, rbase=rbase, rcvs_pallas=rcvs_pallas, r2=r2,
         compact_cvs=compact_cvs, dv_slots=dv_slots,
         k_slots=0 if compact is None else compact,
+        fused_in=fused_in, fuse_max=fuse_eff,
     )

@@ -255,11 +255,17 @@ def read_gray(path: str | os.PathLike) -> np.ndarray:
     if lower.endswith((".png", ".tga")) and native_io.available():
         # Use the native codec only for already-gray files: color->gray weights
         # must stay consistent with the cv2/PIL conversions used elsewhere.
+        # Channel count comes from the cheap header probe so color files are
+        # not decoded natively just to be thrown away.
         try:
-            reader = native_io.read_png if lower.endswith(".png") else native_io.read_tga
-            img = reader(path)
-            if img.ndim == 2:
-                return img
+            if lower.endswith(".png"):
+                probe, reader = native_io.png_dims, native_io.read_png
+            else:
+                probe, reader = native_io.tga_dims, native_io.read_tga
+            if probe(path)[2] == 1:
+                img = reader(path)
+                if img.ndim == 2:
+                    return img
         except native_io.NativeIOError:
             pass
     from PIL import Image
@@ -282,7 +288,7 @@ def write_image(path: str | os.PathLike, img: np.ndarray) -> None:
     from blockbasedmotionestimation_tpu.utils import native_io
 
     lower = path.lower()
-    if native_io.available():
+    if native_io.available() and img.dtype == np.uint8:
         if lower.endswith(".pgm") and img.ndim == 2:
             native_io.write_pgm(path, img)
             return

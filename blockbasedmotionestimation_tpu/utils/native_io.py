@@ -32,6 +32,7 @@ _ERRORS = {
     -8: "unsupported format variant",
     -9: "corrupt file",
     -10: "zlib error",
+    -11: "out of memory",
 }
 
 
@@ -169,12 +170,38 @@ def _read_image(path, dims_fn: str, read_fn: str) -> np.ndarray:
 
 
 def _as_hwc(img: np.ndarray) -> np.ndarray:
-    img = np.ascontiguousarray(img, dtype=np.uint8)
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        # the native codecs are 8-bit only; a silent cast would truncate
+        # uint16/float data mod 256 (use cv2/PIL paths for deeper formats)
+        raise ValueError(
+            f"native image writers take uint8 data, got dtype {img.dtype}"
+        )
+    img = np.ascontiguousarray(img)
     if img.ndim == 2:
         img = img[..., None]
     if img.ndim != 3 or img.shape[2] not in (1, 2, 3, 4):
         raise ValueError(f"expected (H, W[, C<=4]) uint8 image, got {img.shape}")
     return img
+
+
+def _image_dims(path, dims_fn: str) -> tuple[int, int, int]:
+    lib = _load()
+    assert lib is not None
+    p = os.fspath(path).encode()
+    w, h, ch = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+    _check(getattr(lib, dims_fn)(p, ctypes.byref(w), ctypes.byref(h), ctypes.byref(ch)), path)
+    return w.value, h.value, ch.value
+
+
+def png_dims(path: str | os.PathLike) -> tuple[int, int, int]:
+    """(width, height, channels) from the PNG header - no pixel decode."""
+    return _image_dims(path, "bbme_png_dims")
+
+
+def tga_dims(path: str | os.PathLike) -> tuple[int, int, int]:
+    """(width, height, channels) from the Targa header - no pixel decode."""
+    return _image_dims(path, "bbme_tga_dims")
 
 
 def read_png(path: str | os.PathLike) -> np.ndarray:

@@ -318,3 +318,43 @@ def test_fused_pallas_matches_xla(rng):
     a = np.asarray(engine.estimate_flow_driver(im1, im2, cfgx))
     b = np.asarray(engine.estimate_flow_driver(im1, im2, cfgp))
     np.testing.assert_array_equal(a, b)
+
+
+def test_chunk_fused_cv_equals_dense(rng):
+    # chunk-fused fine rounds (kernels.fused_step): candidate costs
+    # recomputed from VMEM-resident window slabs must be bit-identical to
+    # the dense cost-volume path - non-trivial flow (warped texture) so the
+    # delta bounding boxes are exercised beyond the uniform case
+    cfg_dense = MotionConfig(
+        block_sizes=(8, 16), search_sizes=(24, 32), interp_factor=1,
+        regularizer="windowed", search_impl="pallas_interpret",
+    )
+    cfg_fused = cfg_dense.replace(cv_fused=4)
+    base = synth.textured_image(140, 160, rng)
+    im1 = base[:96, :128]
+    im2 = base[5:101, 3:131]
+    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_dense))
+    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_fused))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/middlebury/gt-flow"),
+    reason="reference gt-flow not mounted",
+)
+def test_chunk_fused_rival_equals_dense(rng):
+    # fused + rival composition: the rival slab recompute must match the
+    # dense rival cost volumes bit for bit, on real flow geometry
+    cfg_dense = MotionConfig(
+        block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
+        regularizer="windowed", search_impl="pallas_interpret",
+        rival_window=True, rival_radius=4,
+    )
+    cfg_fused = cfg_dense.replace(cv_fused=4)
+    gt = flowio.read_flo(
+        "/root/reference/middlebury/gt-flow/Dimetrodon/flow10.flo"
+    )[:64, :96]
+    im1, im2 = synth.pair_from_gt(gt, rng)
+    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_dense))
+    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_fused))
+    np.testing.assert_array_equal(a, b)
