@@ -103,7 +103,14 @@ def _accumulate_bbox(
 ):
     """Visit every delta in the [dmin, dmax] bbox (CV-index coords): compute
     the pooled color-cell costs from the VMEM window slab and one-hot
-    accumulate them into the 9-candidate acc wherever ``key`` matches."""
+    accumulate them into the 9-candidate acc wherever ``key`` matches.
+
+    Structure: straight-line 8-delta groups (one slab load + ONE parity-
+    plane relayout + ONE acc read-modify-write per group; the 8 per-delta
+    cost trees run unconditionally and out-of-bbox deltas simply match no
+    key).  A per-delta predicated version RMW'd the full (9, s2, s2, 128)
+    accumulator through VMEM once per delta and ran ~5x slower.
+    """
     q4 = bs // 4
     s2h = bs // 2
     cb = bp[0].shape[-1]
@@ -112,31 +119,28 @@ def _accumulate_bbox(
         def grp_body(g, __):
             wide = wslab_ref[pl.ds(ext - r + dyi, bs), pl.ds(8 * g, bs + 8), :]
             wr = wide.reshape(bs, (bs + 8) // 4, 4, cb)
+            acc = acc_ref[...]
             for j in range(8):
                 dxi = 8 * g + j
-
-                @pl.when((dxi >= dmin_x) & (dxi <= dmax_x))
-                def _(j=j, dxi=dxi):
-                    halves = []
-                    for bx in range(2):
-                        accp = None
-                        for p in (2 * bx, 2 * bx + 1):
-                            c = (p + j) % 4
-                            off = (p + j) // 4
-                            d = bp[p] - wr[:, off : off + q4, c, :].astype(
-                                jnp.int32
-                            )
-                            d = jnp.abs(d) if cost == "sad" else d * d
-                            accp = d if accp is None else accp + d
-                        halves.append(
-                            accp.reshape(s2h, 2, q4, cb).sum(axis=1)
+                halves = []
+                for bx in range(2):
+                    accp = None
+                    for p in (2 * bx, 2 * bx + 1):
+                        c = (p + j) % 4
+                        off = (p + j) // 4
+                        d = bp[p] - wr[:, off : off + q4, c, :].astype(
+                            jnp.int32
                         )
-                    h = _pool_select_color(halves, bs, cur, ci, cj)
-                    s_flat = dyi * side + dxi
-                    acc_ref[...] = jnp.where(
-                        key == s_flat, h[None], acc_ref[...]
-                    )
-
+                        d = jnp.abs(d) if cost == "sad" else d * d
+                        accp = d if accp is None else accp + d
+                    halves.append(accp.reshape(s2h, 2, q4, cb).sum(axis=1))
+                h = _pool_select_color(halves, bs, cur, ci, cj)
+                s_flat = dyi * side + dxi
+                # dxi < side guards the group tail from aliasing row dyi+1
+                acc = jnp.where(
+                    jnp.logical_and(key == s_flat, dxi < side), h[None], acc
+                )
+            acc_ref[...] = acc
             return 0
 
         jax.lax.fori_loop(dmin_x // 8, dmax_x // 8 + 1, grp_body, 0)

@@ -33,7 +33,7 @@ _BIG_RANK = np.int32(127)
 
 
 def _kernel(
-    sc_ref,        # (4,) i32 prefetch: [color, ci, cj, row0_b]
+    sc_ref,        # (5,) i32 prefetch: [color, lci, lcj, row0_b, col0_b]
     lam_ref,       # (1, 1) f32 SMEM: lambda * lambda_multiplier
     cv_ref,        # (1, side^2, mt, nt) u16/i32: this color's CV tile
     cands_ref,     # (9, 2, mt, nt) i32 candidate MVs (x, y)
@@ -52,6 +52,7 @@ def _kernel(
     ci = sc_ref[1]
     cj = sc_ref[2]
     row0_b = sc_ref[3]
+    col0_b = sc_ref[4]
     i0 = pl.program_id(0) * mt
     j0 = pl.program_id(1) * nt
 
@@ -86,7 +87,7 @@ def _kernel(
     ii = jax.lax.broadcasted_iota(jnp.int32, (mt, nt), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (mt, nt), 1)
     gi = row0_b + ci + 2 * (i0 + ii)
-    gj = cj + 2 * (j0 + jj)
+    gj = col0_b + cj + 2 * (j0 + jj)
     tx = (gj * cur)[None] + cx
     ty = (gi * cur)[None] + cy
     in_img = (
@@ -520,6 +521,7 @@ def _kernel_rival(
     ci = sc_ref[1]
     cj = sc_ref[2]
     row0_b = sc_ref[3]
+    col0_b = sc_ref[4]
     i0 = pl.program_id(0) * mt
     j0 = pl.program_id(1) * nt
 
@@ -567,7 +569,7 @@ def _kernel_rival(
     ii = jax.lax.broadcasted_iota(jnp.int32, (mt, nt), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (mt, nt), 1)
     gi = row0_b + ci + 2 * (i0 + ii)
-    gj = cj + 2 * (j0 + jj)
+    gj = col0_b + cj + 2 * (j0 + jj)
     tx = (gj * cur)[None] + cx
     ty = (gi * cur)[None] + cy
     in_img = (

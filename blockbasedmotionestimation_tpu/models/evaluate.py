@@ -60,6 +60,37 @@ def evaluate_sequence(
     )
 
 
+def evaluate_sequence_photometric(
+    name: str,
+    gt_dir: str,
+    cfg: MotionConfig,
+    *,
+    gain: float = 1.0,
+    offset: float = 0.0,
+    noise_sigma: float = 0.0,
+    occlusion_fill: bool = False,
+    seed: int = 0,
+) -> SequenceResult:
+    """Synth-warp eval with a controlled brightness-constancy violation
+    applied to frame 1 (``synth.pair_from_gt_photometric``) - the robustness
+    probe standing in for the reference's real-frame record (error.txt)."""
+    gt = flowio.read_flo(os.path.join(gt_dir, name, "flow10.flo"))
+    rng = np.random.default_rng(seed)
+    im1, im2 = synth.pair_from_gt_photometric(
+        gt, rng, gain=gain, offset=offset, noise_sigma=noise_sigma,
+        occlusion_fill=occlusion_fill,
+    )
+    t0 = time.time()
+    flow = np.asarray(estimate_flow_driver(im1, im2, cfg))
+    dt = time.time() - t0
+    return SequenceResult(
+        name=name,
+        epe=flowio.average_epe(gt, flow),
+        seconds=dt,
+        shape=im1.shape,
+    )
+
+
 def evaluate_middlebury(
     gt_dir: str,
     cfg: MotionConfig,

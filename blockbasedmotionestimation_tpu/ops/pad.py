@@ -31,9 +31,10 @@ def _find_padded_dims(
     orig_h: int, orig_w: int, block_sizes: tuple[int, ...], row_tiles: int = 1
 ) -> tuple[int, int]:
     # row_tiles > 1 additionally requires the finest level's rows to split
-    # into `row_tiles` strips of an EVEN number of block rows each (the tiled
-    # engine's color-parity requirement, parallel/tiled._level_shardable)
-    row_mult = row_tiles * 2 * block_sizes[0] if row_tiles > 1 else 1
+    # into `row_tiles` block-aligned strips.  (r2 also forced an EVEN number
+    # of block rows per strip - a +20% padding tax at 1080p/8-way; the color
+    # steps are now per-tile parity-aware, so block alignment suffices.)
+    row_mult = row_tiles * block_sizes[0] if row_tiles > 1 else 1
     temp_h, temp_w = orig_h, orig_w
     while True:
         if temp_h >= 2 * orig_h + row_mult or temp_w == 2 * orig_w:

@@ -122,9 +122,13 @@ def _energies(
     full_h: int,
     im2_row0: jnp.ndarray,
     cost: str = "sad",
+    full_w: int | None = None,
+    im2_col0: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """(m, n, 9) float32 candidate energies (find_min_candidate, :532-621)."""
-    h, w = full_h, im2.shape[1]
+    h = full_h
+    w = im2.shape[1] if full_w is None else full_w
+    im2_col0 = jnp.asarray(im2_col0, dtype=jnp.int32)
     m, n = oy.shape
     # target block positions: origin + (int)-truncated candidate (:560-575)
     tx = ox[..., None] + cands[..., 0].astype(jnp.int32)  # (m, n, 9)
@@ -132,14 +136,15 @@ def _energies(
     in_img = (tx >= 0) & (tx <= w - bs) & (ty >= 0) & (ty <= h - bs)  # (:578-582)
 
     im2_i16 = im2.astype(jnp.int16)
-    hb = im2.shape[0]
+    hb, wb = im2.shape
 
     def slice_one(y, x):
         return jax.lax.dynamic_slice(im2_i16, (y, x), (bs, bs))
 
     by = jnp.clip(ty - im2_row0, 0, hb - bs)
+    bx = jnp.clip(jnp.clip(tx, 0, w - bs) - im2_col0, 0, wb - bs)
     tgt = jax.vmap(slice_one)(
-        by.reshape(-1), jnp.clip(tx, 0, w - bs).reshape(-1)
+        by.reshape(-1), bx.reshape(-1)
     ).reshape(m, n, 9, bs, bs)
     sad = block_cost(im1_blocks[:, :, None], tgt, (-1, -2), cost)
 
@@ -213,12 +218,15 @@ def _update_color_dynamic(
     gp: jnp.ndarray,          # (nby+3, nbx+3, 2) 1-top/2-bottom padded grid
     bs: int,
     lam_mult: jnp.ndarray,
-    ci: jnp.ndarray,          # traced color row offset in {0, 1}
-    cj: jnp.ndarray,          # traced color col offset in {0, 1}
+    ci: jnp.ndarray,          # traced GLOBAL color row offset in {0, 1}
+    cj: jnp.ndarray,          # traced GLOBAL color col offset in {0, 1}
     full_h: int,
     row0: jnp.ndarray,
     im2_row0: jnp.ndarray,
     cost: str = "sad",
+    full_w: int | None = None,
+    col0: jnp.ndarray | int = 0,
+    im2_col0: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """One color step with TRACED color offsets, for lax.scan over the sweep
     x color schedule (compile-time: one HLO instance per subdivision round
@@ -227,11 +235,21 @@ def _update_color_dynamic(
     The color slab (rows ci::2, cols cj::2) and each slot's candidates are
     materialized with a dynamic_slice + stride-2 reshape trick, numerically
     identical to the static-index path.
+
+    ci/cj are GLOBAL color offsets; on a row tile whose first block row is
+    odd (row0_b odd), the LOCAL rows of that color sit at the opposite local
+    parity, so all local indexing uses ``lci = (ci + row0_b) % 2`` - this is
+    what lets strips with an odd number of block rows shard (r2 instead
+    padded frames until every strip was even, a +20% tax at 1080p/8-way).
     """
     nby, nbx = grid.shape[:2]
     m, n = nby // 2, nbx // 2
     nby_total = full_h // bs
+    nbx_total = full_w // bs
     row0_b = row0 // bs
+    col0_b = col0 // bs
+    lci = (ci + row0_b) % 2  # local row offset of global color row ci
+    lcj = (cj + col0_b) % 2  # local col offset of global color col cj
 
     def slab4(x, ci_, cj_):
         # x: (nby, nbx, ...) -> (m, n, ...) rows ci_::2, cols cj_::2
@@ -242,37 +260,41 @@ def _update_color_dynamic(
     cands = []
     for dy, dx in SLOTS:
         sub = jax.lax.dynamic_slice(
-            gp, (ci + dy + 1, cj + dx + 1, 0), (nby, nbx, 2)
+            gp, (lci + dy + 1, lcj + dx + 1, 0), (nby, nbx, 2)
         )
         cands.append(sub[::2, ::2])
     cands = jnp.stack(cands, axis=2)  # (m, n, 9, 2)
 
     kk = jnp.arange(m, dtype=jnp.int32)[:, None]
     mm = jnp.arange(n, dtype=jnp.int32)[None, :]
-    gi = row0_b + ci + 2 * kk  # (m, 1) global block rows
-    jj = cj + 2 * mm           # (1, n) block cols
+    gi = row0_b + lci + 2 * kk  # (m, 1) global block rows (parity == ci)
+    jj = col0_b + lcj + 2 * mm  # (1, n) global block cols (parity == cj)
 
-    case = _border_case(gi, jj, nby_total, nbx)
+    # border cases/bounds use the TRUE global grid extents (a padded local
+    # nbx would misclassify the frame's last real column as interior)
+    case = _border_case(gi, jj, nby_total, nbx_total)
     rank = jnp.asarray(_RANK_TABLE)[case]
     present = rank < _BIG_RANK
     for k, (dy, dx) in enumerate(SLOTS):
         ok = (
-            (gi + dy >= 0) & (gi + dy < nby_total) & (jj + dx >= 0) & (jj + dx < nbx)
+            (gi + dy >= 0) & (gi + dy < nby_total)
+            & (jj + dx >= 0) & (jj + dx < nbx_total)
         )
         present = present.at[..., k].set(present[..., k] & ok)
 
-    blocks = slab4(im1_blocks, ci, cj)  # (m, n, bs, bs)
+    blocks = slab4(im1_blocks, lci, lcj)  # (m, n, bs, bs)
     oy = (gi * bs) + jnp.zeros((m, n), jnp.int32)
     ox = (jj * bs) + jnp.zeros((m, n), jnp.int32)
     energy = _energies(
-        blocks, im2, cands, present, oy, ox, bs, lam_mult, full_h, im2_row0, cost
+        blocks, im2, cands, present, oy, ox, bs, lam_mult, full_h, im2_row0,
+        cost, full_w=full_w, im2_col0=im2_col0,
     )
     winner = _select_lexicographic(energy, rank)
     new_mv = jnp.take_along_axis(cands, winner[..., None, None], axis=2)[:, :, 0]
 
     gr = grid.reshape(m, 2, n, 2, 2)
     gr = jax.lax.dynamic_update_slice(
-        gr, new_mv[:, None, :, None, :], (0, ci, 0, cj, 0)
+        gr, new_mv[:, None, :, None, :], (0, lci, 0, lcj, 0)
     )
     return gr.reshape(nby, nbx, 2)
 
@@ -289,6 +311,9 @@ def run_schedule(
     full_h: int | None = None,
     row0: jnp.ndarray | int = 0,
     im2_row0: jnp.ndarray | int = 0,
+    full_w: int | None = None,
+    col0: jnp.ndarray | int = 0,
+    im2_col0: jnp.ndarray | int = 0,
     make_gp=None,
     cost: str = "sad",
 ) -> jnp.ndarray:
@@ -305,8 +330,12 @@ def run_schedule(
 
     if full_h is None:
         full_h = im1.shape[0]
+    if full_w is None:
+        full_w = im1.shape[1]
     row0 = jnp.asarray(row0, dtype=jnp.int32)
     im2_row0 = jnp.asarray(im2_row0, dtype=jnp.int32)
+    col0 = jnp.asarray(col0, dtype=jnp.int32)
+    im2_col0 = jnp.asarray(im2_col0, dtype=jnp.int32)
     if make_gp is None:
         def make_gp(g):
             return jnp.pad(g, ((1, 2), (1, 2), (0, 0)))
@@ -336,10 +365,18 @@ def run_schedule(
     while cur > 1:
         nby, nbx = grid.shape[:2]
         pad_r, pad_c = nby % 2, nbx % 2
+        step_gp = make_gp
         if pad_r or pad_c:
-            # odd grids only occur untiled at the first round; phantom rows
-            # are masked by global bounds and sliced off after the scan
+            # odd grids (first round on an odd block-row tile or frame):
+            # phantom rows are masked by global bounds and sliced off after
+            # the scan.  The halo exchange inside make_gp must see only REAL
+            # rows (a phantom last row would be sent to the south neighbor),
+            # so the pad is stripped before and re-applied after it.
             grid = jnp.pad(grid, ((0, pad_r), (0, pad_c), (0, 0)))
+
+            def step_gp(g):
+                gp0 = make_gp(g[:nby, :nbx])
+                return jnp.pad(gp0, ((0, pad_r), (0, pad_c), (0, 0)))
 
         blocks = (
             extract_blocks(im1, cur)
@@ -365,10 +402,10 @@ def run_schedule(
 
             def body(g, x):
                 lam_mult, _, _ = x
-                gp3 = make_gp(g)
+                gp3 = step_gp(g)
                 g = _update_color_jacobi(
                     blocks, im2, g, gp3, cur, lam_mult, full_h, row0, im2_row0,
-                    cost,
+                    cost, full_w=full_w, col0=col0, im2_col0=im2_col0,
                 )
                 return g, None
 
@@ -376,10 +413,11 @@ def run_schedule(
 
             def body(g, x):
                 lam_mult, ci, cj = x
-                gp3 = make_gp(g)
+                gp3 = step_gp(g)
                 g = _update_color_dynamic(
                     blocks, im2, g, gp3, cur, lam_mult, ci, cj,
                     full_h, row0, im2_row0, cost,
+                    full_w=full_w, col0=col0, im2_col0=im2_col0,
                 )
                 return g, None
 
@@ -403,11 +441,17 @@ def _update_color_jacobi(
     row0: jnp.ndarray,
     im2_row0: jnp.ndarray,
     cost: str = "sad",
+    full_w: int | None = None,
+    col0: jnp.ndarray | int = 0,
+    im2_col0: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """Full-grid Jacobi update used inside the scheduled scan."""
     nby, nbx = grid.shape[:2]
     nby_total = full_h // bs
+    full_w = nbx * bs if full_w is None else full_w
+    nbx_total = full_w // bs
     row0_b = row0 // bs
+    col0_b = jnp.asarray(col0, dtype=jnp.int32) // bs
     cands = jnp.stack(
         [gp[1 + dy : 1 + dy + nby, 1 + dx : 1 + dx + nbx] for dy, dx in SLOTS],
         axis=2,
@@ -415,19 +459,21 @@ def _update_color_jacobi(
     kk = jnp.arange(nby, dtype=jnp.int32)[:, None]
     mm = jnp.arange(nbx, dtype=jnp.int32)[None, :]
     gi = row0_b + kk
-    jj = mm + jnp.zeros_like(kk)
-    case = _border_case(gi, mm, nby_total, nbx)
+    jj = col0_b + mm
+    case = _border_case(gi, jj, nby_total, nbx_total)
     rank = jnp.asarray(_RANK_TABLE)[case]
     present = rank < _BIG_RANK
     for k, (dy, dx) in enumerate(SLOTS):
         ok = (
-            (gi + dy >= 0) & (gi + dy < nby_total) & (mm + dx >= 0) & (mm + dx < nbx)
+            (gi + dy >= 0) & (gi + dy < nby_total)
+            & (jj + dx >= 0) & (jj + dx < nbx_total)
         )
         present = present.at[..., k].set(present[..., k] & ok)
     oy = (gi * bs) + jnp.zeros((nby, nbx), jnp.int32)
-    ox = (mm * bs) + jnp.zeros((nby, nbx), jnp.int32)
+    ox = (jj * bs) + jnp.zeros((nby, nbx), jnp.int32)
     energy = _energies(
-        im1_blocks, im2, cands, present, oy, ox, bs, lam_mult, full_h, im2_row0, cost
+        im1_blocks, im2, cands, present, oy, ox, bs, lam_mult, full_h,
+        im2_row0, cost, full_w=full_w, im2_col0=im2_col0,
     )
     winner = _select_lexicographic(energy, rank)
     return jnp.take_along_axis(cands, winner[..., None, None], axis=2)[:, :, 0]

@@ -120,7 +120,7 @@ def _gather_windows(
     return _gather_windows_fn(bs, ext)(im2, by, bx)
 
 
-@partial(jax.jit, static_argnames=("bs", "ss", "full_h", "cost"))
+@partial(jax.jit, static_argnames=("bs", "ss", "full_h", "full_w", "cost"))
 def _raster_search_level(
     im1: jnp.ndarray,
     im2: jnp.ndarray,
@@ -130,6 +130,9 @@ def _raster_search_level(
     full_h: int | None = None,
     row0: jnp.ndarray | int = 0,
     im2_row0: jnp.ndarray | int = 0,
+    full_w: int | None = None,
+    col0: jnp.ndarray | int = 0,
+    im2_col0: jnp.ndarray | int = 0,
     cost: str = "sad",
 ) -> jnp.ndarray:
     """The reference's exhaustive raster search (``motion_framework.cpp:246-294``).
@@ -140,16 +143,19 @@ def _raster_search_level(
     No zero-MV early-out: an entirely clipped-away window keeps the predicted
     position.
     """
-    ht, w = im1.shape
+    ht, wt = im1.shape
     h = ht if full_h is None else full_h
-    nby, nbx = ht // bs, w // bs
+    w = wt if full_w is None else full_w
+    nby, nbx = ht // bs, wt // bs
     nblk = nby * nbx
     sp = (ss - bs) >> 1  # start_pos (:249)
 
     row0 = jnp.asarray(row0, dtype=jnp.int32)
     im2_row0 = jnp.asarray(im2_row0, dtype=jnp.int32)
+    col0 = jnp.asarray(col0, dtype=jnp.int32)
+    im2_col0 = jnp.asarray(im2_col0, dtype=jnp.int32)
     oy = (row0 + jnp.arange(nby, dtype=jnp.int32) * bs)[:, None]
-    ox = (jnp.arange(nbx, dtype=jnp.int32) * bs)[None, :]
+    ox = (col0 + jnp.arange(nbx, dtype=jnp.int32) * bs)[None, :]
     cu = pred[..., 0].astype(jnp.int32)
     cv = pred[..., 1].astype(jnp.int32)
     cy = (oy + cv).reshape(nblk)  # unclamped predicted centers (global)
@@ -157,13 +163,14 @@ def _raster_search_level(
 
     blocks_t = extract_blocks(im1, bs).astype(jnp.int16).transpose(1, 2, 0)
     by = jnp.clip(cy - im2_row0, 0, im2.shape[0] - bs)
+    bx = jnp.clip(jnp.clip(cx, 0, w - bs) - im2_col0, 0, im2.shape[1] - bs)
     windows_t = (
-        _gather_windows(im2, by, jnp.clip(cx, 0, w - bs), bs, sp)
+        _gather_windows(im2, by, bx, bs, sp)
         .astype(jnp.int16)
         .transpose(1, 2, 0)  # (win, win, nblk): blocks on lanes
     )
     cyc = by + im2_row0  # global row of each window's center
-    cxc = jnp.clip(cx, 0, w - bs)
+    cxc = bx + im2_col0
 
     oy1 = jnp.broadcast_to(oy, (nby, nbx)).reshape(nblk)
     ox1 = jnp.broadcast_to(ox, (nby, nbx)).reshape(nblk)
@@ -206,7 +213,7 @@ def _raster_search_level(
     return jnp.stack([u, v], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("bs", "ss", "full_h", "impl", "order", "cost"))
+@partial(jax.jit, static_argnames=("bs", "ss", "full_h", "full_w", "impl", "order", "cost"))
 def block_search_level(
     im1: jnp.ndarray,
     im2: jnp.ndarray,
@@ -216,6 +223,9 @@ def block_search_level(
     full_h: int | None = None,
     row0: jnp.ndarray | int = 0,
     im2_row0: jnp.ndarray | int = 0,
+    full_w: int | None = None,
+    col0: jnp.ndarray | int = 0,
+    im2_col0: jnp.ndarray | int = 0,
     impl: str = "xla",
     order: str = "spiral",
     cost: str = "sad",
@@ -223,9 +233,9 @@ def block_search_level(
     """One ``calcLevelBM`` sweep (``motion_framework.cpp:226-244``).
 
     Args:
-      im1: (Ht, W) uint8 tile of frame 1 (whole frame in the untiled case).
-      im2: (Hb, W) uint8 frame-2 buffer covering the tile plus search halo
-        (columns always span the full frame width).
+      im1: (Ht, Wt) uint8 tile of frame 1 (whole frame in the untiled case).
+      im2: (Hb, Wb) uint8 frame-2 buffer covering the tile plus search halo
+        rows/columns.
       pred: (nby, nbx, 2) float32 predicted MVs (u, v) at block origins.
       bs, ss: block and search sizes; shift = ss - bs.
       full_h: global frame height for bounds checks (None -> im1 is whole).
@@ -233,6 +243,7 @@ def block_search_level(
         under shard_map).
       im2_row0: global pixel row of the im2 buffer's first row (<= row0 when
         the buffer carries a north halo).
+      full_w / col0 / im2_col0: the column-axis analogues (2-D tiling).
 
     Returns:
       (nby, nbx, 2) float32 winning MVs (integer-valued).
@@ -241,20 +252,24 @@ def block_search_level(
     if order == "raster":
         return _raster_search_level(
             im1, im2, pred, bs, ss, full_h=full_h, row0=row0, im2_row0=im2_row0,
+            full_w=full_w, col0=col0, im2_col0=im2_col0,
             cost=cost,
         )
-    ht, w = im1.shape
+    ht, wt = im1.shape
     h = ht if full_h is None else full_h
-    nby, nbx = ht // bs, w // bs
+    w = wt if full_w is None else full_w
+    nby, nbx = ht // bs, wt // bs
     nblk = nby * nbx
     shift = ss - bs
     dys, dxs, ext = spiral_offsets(shift)
 
     row0 = jnp.asarray(row0, dtype=jnp.int32)
     im2_row0 = jnp.asarray(im2_row0, dtype=jnp.int32)
+    col0 = jnp.asarray(col0, dtype=jnp.int32)
+    im2_col0 = jnp.asarray(im2_col0, dtype=jnp.int32)
     # global block origins
     oy = (row0 + jnp.arange(nby, dtype=jnp.int32) * bs)[:, None]  # (nby, 1)
-    ox = (jnp.arange(nbx, dtype=jnp.int32) * bs)[None, :]  # (1, nbx)
+    ox = (col0 + jnp.arange(nbx, dtype=jnp.int32) * bs)[None, :]  # (1, nbx)
     # (int) truncation toward zero of the propagated MV (:233-234)
     cu = pred[..., 0].astype(jnp.int32)
     cv = pred[..., 1].astype(jnp.int32)
@@ -269,7 +284,8 @@ def block_search_level(
     # window top-left in im2-buffer coords; clamp so an undersized halo cannot
     # slip out of the buffer (correctness then relies on the halo bound)
     by = jnp.clip(cy_safe - im2_row0, 0, im2.shape[0] - bs)
-    windows = _gather_windows(im2, by, cx_safe, bs, ext).astype(jnp.int16)
+    bx = jnp.clip(cx_safe - im2_col0, 0, im2.shape[1] - bs)
+    windows = _gather_windows(im2, by, bx, bs, ext).astype(jnp.int16)
 
     if impl in ("pallas", "pallas_interpret"):
         from blockbasedmotionestimation_tpu.kernels.sad_search import sad_spiral_argmin

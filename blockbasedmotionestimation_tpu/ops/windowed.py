@@ -92,10 +92,14 @@ def _pick_rival(
         if (dy, dx) != (0, 0)
     ]
     if row_extend is None:
-        vp = jnp.pad(vals, ((radius, radius), (0, 0), (0, 0)), mode="edge")
+        vp = jnp.pad(
+            vals, ((radius, radius), (radius, radius), (0, 0)), mode="edge"
+        )
     else:
+        # tiled hook: must return vals extended by `radius` on BOTH axes
+        # (neighbor-tile winners on tiled axes, edge replication at frame
+        # boundaries and untiled axes)
         vp = row_extend(vals)
-    vp = jnp.pad(vp, ((0, 0), (radius, radius), (0, 0)), mode="edge")
     neigh = jnp.stack(
         [
             vp[radius + dy : radius + dy + npy, radius + dx : radius + dx + npx]
@@ -454,6 +458,7 @@ def _pallas_round(
     rcvq: jnp.ndarray | None = None,
     rbase: jnp.ndarray | None = None,
     r2: int = 0,
+    col0_b: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """One subdivision round's sweep x color steps via the fused Pallas
     color-step kernel (``kernels.reg_step``).
@@ -472,10 +477,20 @@ def _pallas_round(
     npy, npx = parent_mv.shape[:2]
     nby, nbx = grid.shape[:2]
     nby_total = h // cur
+    nbx_total = w // cur
+    col0_b = jnp.asarray(col0_b, dtype=jnp.int32)
 
     pad_r, pad_c = nby % 2, nbx % 2
     if pad_r or pad_c:  # only possible at f == 1 (odd parent grid)
         grid = jnp.pad(grid, ((0, pad_r), (0, pad_c), (0, 0)))
+        base_gp = make_gp
+
+        def make_gp(g):
+            # halo exchange must see only REAL rows (a phantom last row
+            # would be ppermute'd to the south neighbor in tiled mode)
+            gp0 = base_gp(g[:nby, :nbx])
+            return jnp.pad(gp0, ((0, pad_r), (0, pad_c), (0, 0)))
+
     nby2, nbx2 = grid.shape[:2]
     m2, n2 = nby2 // 2, nbx2 // 2
     m2p = -(-m2 // 8) * 8
@@ -537,15 +552,17 @@ def _pallas_round(
     for ci_, cj_ in _COLORS:
         kk = jnp.arange(m2, dtype=jnp.int32)[:, None]
         mm = jnp.arange(n2, dtype=jnp.int32)[None, :]
-        gi = row0_b + ci_ + 2 * kk
-        jj = cj_ + 2 * mm
-        case = reg._border_case(gi, jj, nby_total, nbx2)
+        gi = row0_b + ci_ + 2 * kk  # ci_/cj_ are LOCAL offsets
+        jj = col0_b + cj_ + 2 * mm
+        # TRUE global extents (padded nbx2 would misclassify the frame's
+        # last real column as interior)
+        case = reg._border_case(gi, jj, nby_total, nbx_total)
         rank = rank_table[case]  # (m2, n2, 9)
         present = rank < reg._BIG_RANK
         for k, (dy, dx) in enumerate(reg.SLOTS):
             ok = (
                 (gi + dy >= 0) & (gi + dy < nby_total)
-                & (jj + dx >= 0) & (jj + dx < nbx2)
+                & (jj + dx >= 0) & (jj + dx < nbx_total)
             )
             present = present.at[..., k].set(present[..., k] & ok)
         present_colors.append(pad2(present.transpose(2, 0, 1).astype(jnp.int32)))
@@ -558,26 +575,32 @@ def _pallas_round(
         dtype=jnp.float32,
     )
 
-    # scan over SWEEPS, colors statically unrolled (static slice starts and
-    # write-backs; see _pallas_round_pm)
+    # scan over SWEEPS, colors statically unrolled.  ci/cj are GLOBAL color
+    # offsets; a tile whose first block row is odd hosts color row ci at the
+    # opposite LOCAL parity, so local slicing/write-back uses
+    # lci = (ci + row0_b) % 2 (strips no longer need an even block-row
+    # count - the r2 padding tax).  The per-color constant slabs are indexed
+    # by LOCAL offset and already carry global-coordinate content.
     def sweep_body(g, lam_mult):
         for ci, cj in _COLORS:
+            lci = (jnp.int32(ci) + row0_b) % 2
+            lcj = (jnp.int32(cj) + col0_b) % 2
             gp = make_gp(g)
             cands = []
             for dy, dx in reg.SLOTS:
-                sub = gp[
-                    ci + dy + 1 : ci + dy + 1 + nby2,
-                    cj + dx + 1 : cj + dx + 1 + nbx2,
-                ]
+                sub = jax.lax.dynamic_slice(
+                    gp, (lci + dy + 1, lcj + dx + 1, 0), (nby2, nbx2, 2)
+                )
                 cands.append(sub[::2, ::2])
             cands = jnp.stack(cands, axis=0).astype(jnp.int32)  # (9, m2, n2, 2)
             cands = pad2(cands.transpose(0, 3, 1, 2))           # (9, 2, m2p, n2p)
             sc = jnp.stack(
                 [
-                    jnp.asarray(2 * ci + cj, jnp.int32),
-                    jnp.asarray(ci, jnp.int32),
-                    jnp.asarray(cj, jnp.int32),
+                    2 * lci + lcj,
+                    lci,
+                    lcj,
                     jnp.asarray(row0_b, jnp.int32),
+                    jnp.asarray(col0_b, jnp.int32),
                 ]
             )
             if rcvq is not None:
@@ -595,7 +618,7 @@ def _pallas_round(
             nm = new_mv[:, :m2, :n2].transpose(1, 2, 0).astype(jnp.float32)
             gr = g.reshape(m2, 2, n2, 2, 2)
             gr = jax.lax.dynamic_update_slice(
-                gr, nm[:, None, :, None, :], (0, ci, 0, cj, 0)
+                gr, nm[:, None, :, None, :], (0, lci, 0, lcj, 0)
             )
             g = gr.reshape(nby2, nbx2, 2)
         return g, None
@@ -620,6 +643,9 @@ def windowed_schedule(
     full_h: int | None = None,
     row0: jnp.ndarray | int = 0,
     im2_row0: jnp.ndarray | int = 0,
+    full_w: int | None = None,
+    col0: jnp.ndarray | int = 0,
+    im2_col0: jnp.ndarray | int = 0,
     make_gp=None,
     impl: str = "xla",
     rival: bool = False,
@@ -633,14 +659,17 @@ def windowed_schedule(
     ordering, evaluated against per-parent windows.  Returns the stride-1 MV
     grid.
     """
-    ht, w = im1.shape
+    ht, wt = im1.shape
     h = ht if full_h is None else full_h
+    w = wt if full_w is None else full_w
     ext = spiral_extent(ss - bs)
     r = ext if reg_radius is None else min(reg_radius, ext)
     side = 2 * r + 1
     npy, npx = grid0.shape[:2]
     row0 = jnp.asarray(row0, dtype=jnp.int32)
     im2_row0 = jnp.asarray(im2_row0, dtype=jnp.int32)
+    col0 = jnp.asarray(col0, dtype=jnp.int32)
+    im2_col0 = jnp.asarray(im2_col0, dtype=jnp.int32)
     untiled = make_gp is None
     if make_gp is None:
         def make_gp(g):
@@ -649,9 +678,12 @@ def windowed_schedule(
     # one (ss, ss) window per parent, centered on origin + search MV
     parent_mv = grid0.astype(jnp.int32)  # integer-valued by construction
     oy = row0 + jnp.arange(npy, dtype=jnp.int32)[:, None] * bs
-    ox = jnp.arange(npx, dtype=jnp.int32)[None, :] * bs
+    ox = col0 + jnp.arange(npx, dtype=jnp.int32)[None, :] * bs
     wy = jnp.clip((oy + parent_mv[..., 1]) - im2_row0, 0, im2.shape[0] - bs)
-    wx = jnp.clip(ox + parent_mv[..., 0], 0, w - bs)
+    wx = jnp.clip(
+        jnp.clip(ox + parent_mv[..., 0], 0, w - bs) - im2_col0,
+        0, im2.shape[1] - bs,
+    )
     windows = (
         _gather_windows(im2, wy.reshape(-1), wx.reshape(-1), bs, ext)
         .astype(jnp.int16)
@@ -666,13 +698,18 @@ def windowed_schedule(
     if rival:
         rmv = _pick_rival(parent_mv, parent_mv, r, row_extend=rival_extend)
         rvy = jnp.clip((oy + rmv[..., 1]) - im2_row0, 0, im2.shape[0] - bs)
-        rvx = jnp.clip(ox + rmv[..., 0], 0, w - bs)
+        rvx = jnp.clip(
+            jnp.clip(ox + rmv[..., 0], 0, w - bs) - im2_col0,
+            0, im2.shape[1] - bs,
+        )
         rwindows = (
             _gather_windows(im2, rvy.reshape(-1), rvx.reshape(-1), bs, r2)
             .astype(jnp.int16)
             .reshape(npy, npx, bs + 2 * r2, bs + 2 * r2)
         )
-        rbase = jnp.stack([rvx - ox, (rvy + im2_row0) - oy], axis=-1)
+        rbase = jnp.stack(
+            [(rvx + im2_col0) - ox, (rvy + im2_row0) - oy], axis=-1
+        )
 
     impl = _resolve_impl(impl)
     cvs_pallas = rcvs_pallas = None
@@ -690,6 +727,7 @@ def windowed_schedule(
         patches1, windows, grid0, parent_mv, bs, ext, r, cost, h, w, row0,
         make_gp, lam0, sweeps_per_round, impl, untiled, cvs_pallas,
         rwindows=rwindows, rbase=rbase, rcvs_pallas=rcvs_pallas, r2=r2,
+        col0=col0,
     )
 
 
@@ -720,6 +758,7 @@ def _rounds_loop(
     k_slots: int = 0,
     fused_in: dict | None = None,
     fuse_max: int = 0,
+    col0: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """The subdivision rounds of the windowed schedule (see module docstring).
 
@@ -768,6 +807,8 @@ def _rounds_loop(
                 rkw = dict(dv_slots=dv_slots, k_slots=k_slots)
             elif not use_fused:
                 vol = cvs_pallas.pop(cur)
+            if round_fn is _pallas_round:
+                rkw["col0_b"] = col0 // cur
             grid = round_fn(
                 grid, vol, parent_mv,
                 bs=bs, cur=cur, side=side, r=r, h=h, w=w,
@@ -786,6 +827,7 @@ def _rounds_loop(
             rpm = jnp.repeat(jnp.repeat(rbase, f, axis=0), f, axis=1)
 
         pad_r, pad_c = nby % 2, nbx % 2
+        step_gp = make_gp
         if pad_r or pad_c:
             grid = jnp.pad(grid, ((0, pad_r), (0, pad_c), (0, 0)))
             cv = jnp.pad(cv, ((0, 0), (0, pad_r), (0, pad_c)))
@@ -793,10 +835,18 @@ def _rounds_loop(
             if rwindows is not None:
                 rcv = jnp.pad(rcv, ((0, 0), (0, pad_r), (0, pad_c)))
                 rpm = jnp.pad(rpm, ((0, pad_r), (0, pad_c), (0, 0)))
+
+            def step_gp(g, _nby=nby, _nbx=nbx, _pr=pad_r, _pc=pad_c):
+                # halo exchange must see only REAL rows (tiled mode)
+                gp0 = make_gp(g[:_nby, :_nbx])
+                return jnp.pad(gp0, ((0, _pr), (0, _pc), (0, 0)))
+
         nby2, nbx2 = grid.shape[:2]
         m2, n2 = nby2 // 2, nbx2 // 2
         nby_total = h // cur
+        nbx_total = w // cur
         row0_b = row0 // cur
+        col0_b = col0 // cur
 
         lam_steps, ci_steps, cj_steps = [], [], []
         for sweep in range(sweeps_per_round):
@@ -814,41 +864,46 @@ def _rounds_loop(
             rcv = rpm = None
 
         def body(g, x, cur=cur, nby2=nby2, nbx2=nbx2, m2=m2, n2=n2,
-                 nby_total=nby_total, row0_b=row0_b, cv=cv, pm=pm,
-                 rcv=rcv, rpm=rpm):
+                 nby_total=nby_total, nbx_total=nbx_total, row0_b=row0_b,
+                 col0_b=col0_b, cv=cv, pm=pm, rcv=rcv, rpm=rpm):
             lam_mult, ci, cj = x
-            gp = make_gp(g)
+            # local offsets of GLOBAL color (ci, cj) (odd-first-row/col tiles)
+            lci = (ci + row0_b) % 2
+            lcj = (cj + col0_b) % 2
+            gp = step_gp(g)
 
             def slab2(arr, axes):
-                # stride-2 view rows ci::2 / cols cj::2 on the given two axes
+                # stride-2 view rows lci::2 / cols lcj::2 on the given axes
                 sh = list(arr.shape)
                 sh[axes[0]] = m2
                 sh.insert(axes[0] + 1, 2)
                 sh[axes[1] + 1] = n2
                 sh.insert(axes[1] + 2, 2)
                 rsh = arr.reshape(sh)
-                rsh = jax.lax.dynamic_index_in_dim(rsh, ci, axis=axes[0] + 1, keepdims=False)
-                return jax.lax.dynamic_index_in_dim(rsh, cj, axis=axes[1] + 1, keepdims=False)
+                rsh = jax.lax.dynamic_index_in_dim(rsh, lci, axis=axes[0] + 1, keepdims=False)
+                return jax.lax.dynamic_index_in_dim(rsh, lcj, axis=axes[1] + 1, keepdims=False)
 
             cands = []
             for dy, dx in reg.SLOTS:
                 sub = jax.lax.dynamic_slice(
-                    gp, (ci + dy + 1, cj + dx + 1, 0), (nby2, nbx2, 2)
+                    gp, (lci + dy + 1, lcj + dx + 1, 0), (nby2, nbx2, 2)
                 )
                 cands.append(sub[::2, ::2])
             cands = jnp.stack(cands, axis=2)  # (m2, n2, 9, 2)
 
             kk = jnp.arange(m2, dtype=jnp.int32)[:, None]
             mm = jnp.arange(n2, dtype=jnp.int32)[None, :]
-            gi = row0_b + ci + 2 * kk
-            jj = cj + 2 * mm
-            case = reg._border_case(gi, jj, nby_total, nbx2)
+            gi = row0_b + lci + 2 * kk  # global rows of parity ci
+            jj = col0_b + lcj + 2 * mm  # global cols of parity cj
+            # TRUE global grid extents (padded local nbx2 would misclassify
+            # the frame's last real column as interior)
+            case = reg._border_case(gi, jj, nby_total, nbx_total)
             rank = rank_table[case]
             present = rank < reg._BIG_RANK
             for k, (dy, dx) in enumerate(reg.SLOTS):
                 okk = (
                     (gi + dy >= 0) & (gi + dy < nby_total)
-                    & (jj + dx >= 0) & (jj + dx < nbx2)
+                    & (jj + dx >= 0) & (jj + dx < nbx_total)
                 )
                 present = present.at[..., k].set(present[..., k] & okk)
 
@@ -889,7 +944,7 @@ def _rounds_loop(
 
             gr = g.reshape(m2, 2, n2, 2, 2)
             gr = jax.lax.dynamic_update_slice(
-                gr, new_mv[:, None, :, None, :], (0, ci, 0, cj, 0)
+                gr, new_mv[:, None, :, None, :], (0, lci, 0, lcj, 0)
             )
             return gr.reshape(nby2, nbx2, 2), None
 
@@ -915,6 +970,9 @@ def windowed_level(
     full_h: int | None = None,
     row0: jnp.ndarray | int = 0,
     im2_row0: jnp.ndarray | int = 0,
+    full_w: int | None = None,
+    col0: jnp.ndarray | int = 0,
+    im2_col0: jnp.ndarray | int = 0,
     make_gp=None,
     impl: str = "xla",
     rival: bool = False,
@@ -951,8 +1009,9 @@ def windowed_level(
 
     Returns the stride-1 MV grid, like ``windowed_schedule``.
     """
-    ht, w = im1.shape
+    ht, wt = im1.shape
     h = ht if full_h is None else full_h
+    w = wt if full_w is None else full_w
     shift = ss - bs
     dys_np, dxs_np, ext = spiral_offsets(shift)
     side = 2 * ext + 1
@@ -960,6 +1019,8 @@ def windowed_level(
     nblk = npy * npx
     row0 = jnp.asarray(row0, dtype=jnp.int32)
     im2_row0 = jnp.asarray(im2_row0, dtype=jnp.int32)
+    col0 = jnp.asarray(col0, dtype=jnp.int32)
+    im2_col0 = jnp.asarray(im2_col0, dtype=jnp.int32)
     untiled = make_gp is None
     if make_gp is None:
         def make_gp(g):
@@ -968,7 +1029,7 @@ def windowed_level(
     # the spiral search's center: origin + (int)-truncated prediction, with
     # the zero-MV early-out for centers outside the image (:304-310)
     oy = row0 + jnp.arange(npy, dtype=jnp.int32)[:, None] * bs
-    ox = jnp.arange(npx, dtype=jnp.int32)[None, :] * bs
+    ox = col0 + jnp.arange(npx, dtype=jnp.int32)[None, :] * bs
     cu = pred[..., 0].astype(jnp.int32)
     cv_ = pred[..., 1].astype(jnp.int32)
     cy = oy + cv_
@@ -978,8 +1039,9 @@ def windowed_level(
     cx_safe = jnp.where(center_ok, cx, jnp.broadcast_to(ox, (npy, npx)))
 
     by = jnp.clip(cy_safe - im2_row0, 0, im2.shape[0] - bs)
+    bx = jnp.clip(cx_safe - im2_col0, 0, im2.shape[1] - bs)
     windows = (
-        _gather_windows(im2, by.reshape(-1), cx_safe.reshape(-1), bs, ext)
+        _gather_windows(im2, by.reshape(-1), bx.reshape(-1), bs, ext)
         .astype(jnp.int16)
         .reshape(npy, npx, bs + 2 * ext, bs + 2 * ext)
     )
@@ -987,7 +1049,9 @@ def windowed_level(
         im1.reshape(npy, bs, npx, bs).transpose(0, 2, 1, 3).astype(jnp.int16)
     )
     # the windows' actual global center MV: deltas downstream rebase on this
-    base_mv = jnp.stack([cx_safe - ox, (by + im2_row0) - oy], axis=-1)
+    base_mv = jnp.stack(
+        [(bx + im2_col0) - ox, (by + im2_row0) - oy], axis=-1
+    )
 
     impl = _resolve_impl(impl)
     use_compact = (
@@ -1117,13 +1181,18 @@ def windowed_level(
             grid0.astype(jnp.int32), base_mv, ext, row_extend=rival_extend
         )
         rvy = jnp.clip((oy + rmv[..., 1]) - im2_row0, 0, im2.shape[0] - bs)
-        rvx = jnp.clip(ox + rmv[..., 0], 0, w - bs)
+        rvx = jnp.clip(
+            jnp.clip(ox + rmv[..., 0], 0, w - bs) - im2_col0,
+            0, im2.shape[1] - bs,
+        )
         rwindows = (
             _gather_windows(im2, rvy.reshape(-1), rvx.reshape(-1), bs, r2)
             .astype(jnp.int16)
             .reshape(npy, npx, bs + 2 * r2, bs + 2 * r2)
         )
-        rbase = jnp.stack([rvx - ox, (rvy + im2_row0) - oy], axis=-1)
+        rbase = jnp.stack(
+            [(rvx + im2_col0) - ox, (rvy + im2_row0) - oy], axis=-1
+        )
         if fused_in is not None:
             # fused rival: coarse rival volumes dense, fine ones recomputed
             # against the VMEM-resident rival slab
@@ -1157,5 +1226,5 @@ def windowed_level(
         rwindows=rwindows, rbase=rbase, rcvs_pallas=rcvs_pallas, r2=r2,
         compact_cvs=compact_cvs, dv_slots=dv_slots,
         k_slots=0 if compact is None else compact,
-        fused_in=fused_in, fuse_max=fuse_eff,
+        fused_in=fused_in, fuse_max=fuse_eff, col0=col0,
     )

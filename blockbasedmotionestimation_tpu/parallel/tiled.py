@@ -18,9 +18,10 @@ Because every bounds check in ops.search / ops.regularize uses GLOBAL
 coordinates, the tiled fourcolor/jacobi pipeline is bit-identical to its
 untiled counterpart - asserted by tests on a forced-8-device CPU mesh.
 
-Levels too small to tile profitably (or whose local block-row count would be
-odd, breaking the color parity) run replicated on every device - coarse
-pyramid levels are tiny, so this costs nothing.
+Levels whose rows don't split into block-aligned strips, or whose halo
+exceeds the strip, run replicated on every device - coarse pyramid levels
+are tiny, so this costs nothing.  (Odd local block-row counts shard fine:
+color steps use per-tile parity offsets.)
 
 Batching: ``estimate_flow_batch`` vmaps the engine over a leading batch axis
 and shards it over the mesh's data axis; combined with row tiling this gives
@@ -118,6 +119,108 @@ def _exchange_rows_edge(x: jnp.ndarray, axis: str) -> jnp.ndarray:
     return jnp.concatenate([north, x, south], axis=0)
 
 
+def _exchange_cols(x: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
+    """Column analogue of ``_exchange_rows`` (west/east neighbor halos)."""
+    if halo == 0:
+        return x
+    t = jax.lax.axis_size(axis)
+    east_edge = x[:, -halo:]
+    west_edge = x[:, :halo]
+    from_west = jax.lax.ppermute(
+        east_edge, axis, [(i, i + 1) for i in range(t - 1)]
+    )
+    from_east = jax.lax.ppermute(
+        west_edge, axis, [(i, i - 1) for i in range(1, t)]
+    )
+    return jnp.concatenate([from_west, x, from_east], axis=1)
+
+
+def _exchange_cols_edge(x: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """1-column neighbor exchange, edge-replicated at mesh boundaries."""
+    t = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    from_west = jax.lax.ppermute(
+        x[:, -1:], axis, [(i, i + 1) for i in range(t - 1)]
+    )
+    from_east = jax.lax.ppermute(
+        x[:, :1], axis, [(i, i - 1) for i in range(1, t)]
+    )
+    west = jnp.where(idx == 0, x[:, :1], from_west)
+    east = jnp.where(idx == t - 1, x[:, -1:], from_east)
+    return jnp.concatenate([west, x, east], axis=1)
+
+
+def _tiled_level_fn_2d(
+    bs: int, ss: int, cfg: MotionConfig, full_h: int, full_w: int,
+    halo: int, axis: str, axis_x: str,
+):
+    """Per-device level body for 2-D (ty x tx) spatial tiling.
+
+    The reference's own split is by COLUMNS (``parallel.h:20-58``); this
+    composes both axes: frame-2 pixel halos and the 1-block MV ring are
+    exchanged row-wise then column-wise (the column pass of the row-extended
+    buffer carries the corner data from diagonal neighbors).
+    """
+
+    def body(im1_t: jnp.ndarray, im2_t: jnp.ndarray, pred_t: jnp.ndarray) -> jnp.ndarray:
+        ht, wt = im1_t.shape
+        row0 = jax.lax.axis_index(axis).astype(jnp.int32) * ht
+        col0 = jax.lax.axis_index(axis_x).astype(jnp.int32) * wt
+        im2_buf = _exchange_cols(_exchange_rows(im2_t, halo, axis), halo, axis_x)
+        im2_row0 = row0 - halo
+        im2_col0 = col0 - halo
+
+        def make_gp(g):
+            # 1-block MV ring: rows then columns (corners via composition)
+            gh = _exchange_cols(_exchange_rows(g, 1, axis), 1, axis_x)
+            return jnp.pad(gh, ((0, 1), (0, 1), (0, 0)))
+
+        def rival_extend(g):
+            return _exchange_cols_edge(_exchange_rows_edge(g, axis), axis_x)
+
+        if cfg.uses_fused_windowed:
+            from blockbasedmotionestimation_tpu.ops.windowed import windowed_level
+
+            return windowed_level(
+                im1_t, im2_buf, pred_t, bs, ss,
+                float(bs) * cfg.lambda_scale, cfg.sweeps_per_round,
+                cost=cfg.cost, full_h=full_h, row0=row0, im2_row0=im2_row0,
+                full_w=full_w, col0=col0, im2_col0=im2_col0,
+                make_gp=make_gp, impl=cfg.search_impl,
+                rival=cfg.rival_window, rival_extend=rival_extend,
+                rival_radius=cfg.rival_radius,
+            )
+
+        grid = block_search_level(
+            im1_t, im2_buf, pred_t, bs, ss,
+            full_h=full_h, row0=row0, im2_row0=im2_row0,
+            full_w=full_w, col0=col0, im2_col0=im2_col0,
+            impl=cfg.search_impl, order=cfg.search_order, cost=cfg.cost,
+        )
+
+        lam0 = float(bs) * cfg.lambda_scale
+        if cfg.regularizer == "windowed":
+            from blockbasedmotionestimation_tpu.ops.windowed import windowed_schedule
+
+            return windowed_schedule(
+                im1_t, im2_buf, grid, bs, ss, lam0, cfg.sweeps_per_round,
+                cost=cfg.cost, reg_radius=cfg.reg_radius,
+                full_h=full_h, row0=row0, im2_row0=im2_row0,
+                full_w=full_w, col0=col0, im2_col0=im2_col0,
+                make_gp=make_gp, impl=cfg.search_impl,
+                rival=cfg.rival_window, rival_extend=rival_extend,
+                rival_radius=cfg.rival_radius,
+            )
+        return reg.run_schedule(
+            im1_t, im2_buf, grid, bs, lam0, cfg.sweeps_per_round, cfg.regularizer,
+            full_h=full_h, row0=row0, im2_row0=im2_row0,
+            full_w=full_w, col0=col0, im2_col0=im2_col0,
+            make_gp=make_gp, cost=cfg.cost,
+        )
+
+    return body
+
+
 def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int, axis: str):
     """Builds the per-device level body (search + regularization schedule)."""
 
@@ -133,7 +236,9 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
             return jnp.pad(gh, ((0, 1), (1, 2), (0, 0)))
 
         def rival_extend(g):
-            return _exchange_rows_edge(g, axis)
+            # rows from neighbor tiles; columns are untiled here -> edge pad
+            gr = _exchange_rows_edge(g, axis)
+            return jnp.pad(gr, ((0, 0), (1, 1), (0, 0)), mode="edge")
 
         if cfg.uses_fused_windowed:
             from blockbasedmotionestimation_tpu.ops.windowed import windowed_level
@@ -175,28 +280,34 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
 
 
 def _level_shardable(h: int, w: int, bs: int, t: int) -> bool:
-    """Rows tile evenly into block-aligned strips with even local block rows
-    (even local block rows keep global == local color parity on every tile)."""
-    if h % (t * bs):
-        return False
-    return ((h // t) // bs) % 2 == 0
+    """Rows must tile evenly into block-aligned strips.
+
+    Odd local block-row counts are fine: the color steps index each tile's
+    local rows with a per-tile parity offset ``(ci + row0_b) % 2``, so
+    global == local color alignment no longer constrains the strip height
+    (r2 required an even count, which padded 1080p/8-way from 1280 to 1536
+    rows - a +20% level-0 tax)."""
+    return h % (t * bs) == 0
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis", "axis_x"))
 def estimate_flow_padded_tiled(
     im1p: jnp.ndarray,
     im2p: jnp.ndarray,
     cfg: MotionConfig,
     mesh: Mesh,
     axis: str = "ty",
+    axis_x: str | None = None,
 ) -> jnp.ndarray:
-    """Row-tiled, halo-exchanged engine on pre-padded frames.
+    """Spatially tiled, halo-exchanged engine on pre-padded frames.
 
-    Bit-identical to ``engine.estimate_flow_padded`` in fourcolor/jacobi/
-    windowed modes.  "exact" (whole-frame raster Gauss-Seidel) does not
-    decompose across tiles and is rejected explicitly rather than silently
-    degraded.  Returns the dense (H', W', 2) flow, sharded by rows over
-    `axis`.
+    Rows shard over ``axis``; with ``axis_x`` set, columns also shard over
+    that mesh axis (2-D ty x tx tiling - the reference's own parallel split
+    is by columns, ``parallel.h:20-58``).  Bit-identical to
+    ``engine.estimate_flow_padded`` in fourcolor/jacobi/windowed modes.
+    "exact" (whole-frame raster Gauss-Seidel) does not decompose across
+    tiles and is rejected explicitly rather than silently degraded.
+    Returns the dense (H', W', 2) flow, sharded over the spatial axes.
     """
     if cfg.regularizer == "exact":
         raise ValueError(
@@ -204,11 +315,10 @@ def estimate_flow_padded_tiled(
             "row-tiled; use estimate_flow_padded, or fourcolor/windowed here"
         )
     t = mesh.shape[axis]
+    tx = mesh.shape[axis_x] if axis_x is not None else 1
     levels = cfg.num_levels
     pyr1 = resample.build_pyramid(im1p, levels)
     pyr2 = resample.build_pyramid(im2p, levels)
-
-    row_sharding = NamedSharding(mesh, P(axis, None))
 
     dense = None
     for level in range(levels - 1, -1, -1):
@@ -223,7 +333,28 @@ def estimate_flow_padded_tiled(
                 pred = jnp.clip(pred, -float(cfg.mv_cap), float(cfg.mv_cap))
 
         halo = im2_halo(cfg, level)
-        if _level_shardable(h, w, bs, t) and halo < h // t:
+        rows_ok = _level_shardable(h, w, bs, t) and halo < h // t
+        cols_ok = (
+            axis_x is not None
+            and _level_shardable(w, h, bs, tx)
+            and halo < w // tx
+        )
+        if rows_ok and cols_ok:
+            sharding = NamedSharding(mesh, P(axis, axis_x))
+            im1 = jax.lax.with_sharding_constraint(im1, sharding)
+            im2 = jax.lax.with_sharding_constraint(im2, sharding)
+            body = _tiled_level_fn_2d(bs, ss, cfg, h, w, halo, axis, axis_x)
+            dense = shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(
+                    P(axis, axis_x), P(axis, axis_x), P(axis, axis_x, None),
+                ),
+                out_specs=P(axis, axis_x, None),
+                check_vma=False,
+            )(im1, im2, pred)
+        elif rows_ok:
+            row_sharding = NamedSharding(mesh, P(axis, None))
             im1 = jax.lax.with_sharding_constraint(im1, row_sharding)
             im2 = jax.lax.with_sharding_constraint(im2, row_sharding)
             body = _tiled_level_fn(bs, ss, cfg, h, halo, axis)

@@ -85,3 +85,58 @@ def pair_from_gt(
     im2 = textured_image(h, w, rng, octaves)
     im1 = warp_backward(im2, gt_flow)
     return im1, im2
+
+
+def perturb_photometric(
+    image: np.ndarray,
+    rng: np.random.Generator,
+    *,
+    gain: float = 1.0,
+    offset: float = 0.0,
+    noise_sigma: float = 0.0,
+) -> np.ndarray:
+    """Photometric perturbation of one frame: out = gain*in + offset + N(0, s).
+
+    The GT-warp suite idealizes brightness constancy; real camera pairs have
+    exposure/illumination drift and sensor noise (the reference's entire
+    quantitative record, ``error.txt``, is on such real frames).  Applying
+    this to ONE frame of a pair breaks the constancy by a controlled amount
+    so EPE robustness can be measured (EVAL_robust.md).
+    """
+    out = image.astype(np.float64) * gain + offset
+    if noise_sigma > 0.0:
+        out = out + rng.normal(0.0, noise_sigma, size=image.shape)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def pair_from_gt_photometric(
+    gt_flow: np.ndarray,
+    rng: np.random.Generator,
+    *,
+    gain: float = 1.0,
+    offset: float = 0.0,
+    noise_sigma: float = 0.0,
+    occlusion_fill: bool = False,
+    octaves: int = 4,
+) -> tuple[np.ndarray, np.ndarray]:
+    """GT-warp pair with photometric nuisance applied to frame 1.
+
+    occlusion_fill: where the backward warp folds (multiple sources map to
+    one target, |gt| discontinuities), real frames show DIFFERENT content
+    rather than a smooth warp; emulate by re-texturing pixels whose local
+    flow divergence exceeds 1px with an independent texture patch.
+    """
+    h, w = gt_flow.shape[:2]
+    im2 = textured_image(h, w, rng, octaves)
+    im1 = warp_backward(im2, gt_flow)
+    if occlusion_fill:
+        u = np.where(unknown_flow_mask(gt_flow), 0.0, gt_flow[..., 0])
+        v = np.where(unknown_flow_mask(gt_flow), 0.0, gt_flow[..., 1])
+        div = np.abs(np.gradient(u, axis=1)) + np.abs(np.gradient(v, axis=0))
+        occ = div > 1.0
+        alt = textured_image(h, w, rng, octaves)
+        im1 = np.where(occ, alt, im1).astype(np.uint8)
+    im1 = perturb_photometric(
+        im1, rng, gain=gain, offset=offset, noise_sigma=noise_sigma
+    )
+    return im1, im2

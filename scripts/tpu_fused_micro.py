@@ -23,20 +23,29 @@ H, W = 1280, 2048
 
 
 def sync(x):
-    return float(np.asarray(x).reshape(-1)[0])
+    # device-side scalar index FIRST; np.asarray on the full array would
+    # download gigabytes through the remote tunnel
+    return float(np.asarray(x[(0,) * x.ndim]))
 
 
-def timeit(name, fn, *args, iters=5, **kw):
+def timeit(name, fn, *args, iters=5, keep=True, **kw):
     out = fn(*args, **kw)
-    sync(out[0] if isinstance(out, (tuple, list, dict)) is False else list(out.values())[0] if isinstance(out, dict) else out)
+    o = list(out.values())[0] if isinstance(out, dict) else out
+    sync(o)
+    if not keep:
+        # multi-GB outputs: never hold two result sets at once
+        del out, o
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args, **kw)
-        o = list(out.values())[0] if isinstance(out, dict) else out
+        nxt = fn(*args, **kw)
+        o = list(nxt.values())[0] if isinstance(nxt, dict) else nxt
         sync(o)
+        if keep:
+            out = nxt
+        del nxt, o
     dt = (time.time() - t0) / iters
-    print(f"{name:36s}: {dt*1e3:8.2f} ms")
-    return out
+    print(f"{name:36s}: {dt*1e3:8.2f} ms", flush=True)
+    return out if keep else None
 
 
 def main():
@@ -49,15 +58,17 @@ def main():
         rng.integers(0, 256, (win, win, NP_TOT), dtype=np.int16)
     )
 
-    print(f"nP={NP_TOT} ({NP_TOT//128} chunks)")
-    dense = timeit(
+    print(f"nP={NP_TOT} ({NP_TOT//128} chunks)", flush=True)
+    timeit(
         "delta_pooled_cvs (dense build)", cv_diff.delta_pooled_cvs,
-        patches, windows, BS, EXT, EXT, "sad",
+        patches, windows, BS, EXT, EXT, "sad", iters=3, keep=False,
     )
-    deep = timeit(
+    timeit(
         "deep_pooled_cvs (fused build)", cv_diff.deep_pooled_cvs,
-        patches, windows, BS, EXT, EXT, 4, "sad",
+        patches, windows, BS, EXT, EXT, 4, "sad", iters=3, keep=False,
     )
+    dense = cv_diff.delta_pooled_cvs(patches, windows, BS, EXT, EXT, "sad")
+    dense = {2: dense[2], 4: dense[4]}  # drop the small deeper volumes
 
     # one cur=2 color step: cands near-uniform (deltas in {-1,0,1})
     cur = 2
@@ -90,12 +101,32 @@ def main():
     sc = jnp.asarray([0, 0, 0, 0], jnp.int32)
     lam = jnp.float32(16.0)
 
-    cv2d = dense[2]
+    cur4 = 4
+    s24 = (BS // cur4) // 2
+    cands4 = jnp.asarray(
+        rng.integers(-1, 2, (9, 2, s24, s24, npp), dtype=np.int32)
+    )
+    present4 = jnp.ones((4, 9, s24, s24, npp), jnp.int32)
+    rank4 = jnp.asarray(
+        np.broadcast_to(
+            np.arange(9, dtype=np.int32)[None, :, None, None, None],
+            (4, 9, s24, s24, npp),
+        ).copy()
+    )
+    oy4 = jnp.zeros((4, s24, 1, npp), jnp.int32)
+    ox4 = jnp.zeros((4, s24, npp), jnp.int32)
+
     timeit(
         "dense pm color step (cur=2)", reg_step.windowed_color_step_pm,
-        sc, lam, cv2d, cands, pm, present, rank, oy, ox,
+        sc, lam, dense[2], cands, pm, present, rank, oy, ox,
         SIDE, EXT, cur, H, W, iters=10,
     )
+    timeit(
+        "dense pm color step (cur=4)", reg_step.windowed_color_step_pm,
+        sc, lam, dense[4], cands4, pm, present4, rank4, oy4, ox4,
+        SIDE, EXT, cur4, H, W, iters=10,
+    )
+    del dense  # free ~14 GB before the fused variants run
 
     patches_pl, wslab = fused_step.prep_slabs(patches, windows, BS, EXT, EXT)
     timeit(
@@ -111,26 +142,6 @@ def main():
         "fused color step (cur=2, d<=4)", fused_step.windowed_color_step_pm_fused,
         sc, lam, patches_pl, wslab, cands2, pm, present, rank, oy, ox,
         BS, EXT, EXT, cur, "sad", H, W, iters=10,
-    )
-    # cur=4 comparison
-    cur4, f4 = 4, BS // 4
-    s24 = f4 // 2
-    cands4 = jnp.asarray(
-        rng.integers(-1, 2, (9, 2, s24, s24, npp), dtype=np.int32)
-    )
-    present4 = jnp.ones((4, 9, s24, s24, npp), jnp.int32)
-    rank4 = jnp.asarray(
-        np.broadcast_to(
-            np.arange(9, dtype=np.int32)[None, :, None, None, None],
-            (4, 9, s24, s24, npp),
-        ).copy()
-    )
-    oy4 = jnp.zeros((4, s24, 1, npp), jnp.int32)
-    ox4 = jnp.zeros((4, s24, npp), jnp.int32)
-    timeit(
-        "dense pm color step (cur=4)", reg_step.windowed_color_step_pm,
-        sc, lam, dense[4], cands4, pm, present4, rank4, oy4, ox4,
-        SIDE, EXT, cur4, H, W, iters=10,
     )
     timeit(
         "fused color step (cur=4, d<=1)", fused_step.windowed_color_step_pm_fused,

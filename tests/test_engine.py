@@ -271,3 +271,32 @@ def test_batched_matches_single(rng):
         single, ps = engine.estimate_flow(jnp.asarray(a), jnp.asarray(b), cfg)
         assert ps == pb
         np.testing.assert_array_equal(batched[k], np.asarray(single))
+
+
+def test_run_schedule_scan_equals_static_sweeps_odd_grid(rng):
+    # ODD block rows AND columns (5x9): the scan path pads the grid to even
+    # dims, and its border cases must still use the TRUE grid extents - the
+    # padded extent misclassified the last real row/column as interior
+    # (wrong candidate ordering + a phantom zero-MV candidate) until r3
+    from blockbasedmotionestimation_tpu.ops.regularize import run_schedule
+
+    h, w = 20, 36  # 5x9 blocks at bs=4
+    im1, im2 = _pair(rng, h, w)
+    grid = rng.integers(-3, 4, size=(h // 4, w // 4, 2)).astype(np.float32)
+
+    got = np.asarray(run_schedule(im1, im2, grid, 4, 2.0, 2, "fourcolor"))
+
+    ref = grid.copy()
+    cur, lam = 4, 2.0
+    while cur > 1:
+        for sweep in range(2):
+            ref = np.asarray(
+                regularize_sweep(
+                    im1, im2, ref, cur, np.float32(lam), np.float32(sweep + 1),
+                    "fourcolor",
+                )
+            )
+        ref = np.repeat(np.repeat(ref, 2, axis=0), 2, axis=1)
+        cur >>= 1
+        lam *= 2.0
+    np.testing.assert_array_equal(got, ref)

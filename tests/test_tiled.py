@@ -47,7 +47,11 @@ def test_mv_cap_shards_1080p_level0():
 
     cfg = MotionConfig(interp_factor=1, regularizer="windowed", mv_cap=64)
     p = pad_ops.compute_padding(1080, 1920, cfg, row_tiles=8)
-    assert p.padded_h % (8 * 32 * 2) == 0, p
+    # parity-aware color steps: strips need only be block-aligned, so the
+    # tile-aware padding equals the untiled padding (1280, not r2's 1536 -
+    # the +20% tax is gone) and each tile holds 5 (odd) block rows
+    assert p.padded_h == 1280, p
+    assert (p.padded_h // 8) // 32 == 5
     strip = p.padded_h // 8
     halo = tiled.im2_halo(cfg, 0)
     assert halo == 64 + 16 + 16  # cap + spiral extent + window reach
@@ -155,3 +159,73 @@ def test_batch_sharded_matches_single(rng):
     for b in range(8):
         single = np.asarray(engine.estimate_flow_driver(im1s[b], im2s[b], cfg))
         np.testing.assert_array_equal(batched[b], single)
+
+
+@pytest.mark.parametrize("mode", ["fourcolor", "windowed"])
+def test_tiled_odd_block_rows_equals_untiled(rng, mode):
+    # 96 rows / 8 devices = 12-row strips = 3 block rows per tile (ODD):
+    # exercises the per-tile color-parity offsets ((ci + row0_b) % 2) and
+    # the pad-aware halo exchange in the first round (r2's engine required
+    # even strips and would have refused to shard this level at all)
+    cfg = MotionConfig(
+        block_sizes=(4, 4), search_sizes=(6, 6), interp_factor=1,
+        regularizer=mode,
+    )
+    assert tiled._level_shardable(96, 64, 4, 8)
+    im1, im2 = _pair(rng, 96, 64, dy=1, dx=-1)
+    mesh = _mesh()
+    want = np.asarray(engine.estimate_flow_padded(im1, im2, cfg))
+    got = np.asarray(tiled.estimate_flow_padded_tiled(im1, im2, cfg, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tiled_odd_block_rows_rival_equals_untiled(rng):
+    # odd strips + rival windows: the rival 1-row winner exchange and the
+    # parity-aware color steps must compose
+    cfg = MotionConfig(
+        block_sizes=(4, 4), search_sizes=(6, 6), interp_factor=1,
+        regularizer="windowed", rival_window=True,
+    )
+    im1, im2 = _pair(rng, 96, 64, dy=2, dx=-1)
+    mesh = _mesh()
+    want = np.asarray(engine.estimate_flow_padded(im1, im2, cfg))
+    got = np.asarray(tiled.estimate_flow_padded_tiled(im1, im2, cfg, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "mode,rival",
+    [("fourcolor", False), ("windowed", False), ("windowed", True)],
+)
+def test_tiled_2d_equals_untiled(rng, mode, rival):
+    # 2-D (ty x tx) spatial tiling - the reference's own split is by
+    # COLUMNS (parallel.h:20-58); here both axes compose, with corner halos
+    # carried by the rows-then-columns exchange order.  Column count per
+    # tile is 5 blocks (ODD) to exercise the column parity offsets.
+    cfg = MotionConfig(
+        block_sizes=(4, 4), search_sizes=(6, 6), interp_factor=1,
+        regularizer=mode, rival_window=rival,
+    )
+    im1, im2 = _pair(rng, 96, 80, dy=1, dx=-2)
+    mesh = _mesh(("ty", "tx"), (2, 4))
+    want = np.asarray(engine.estimate_flow_padded(im1, im2, cfg))
+    got = np.asarray(
+        tiled.estimate_flow_padded_tiled(im1, im2, cfg, mesh, axis_x="tx")
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tiled_2d_coarse_fallback(rng):
+    # levels whose columns can't split block-aligned fall back to row-only
+    # or replicated execution and still match untiled exactly
+    cfg = MotionConfig(
+        block_sizes=(4, 4, 4), search_sizes=(8, 8, 8), interp_factor=1,
+        regularizer="windowed", mv_cap=4,
+    )
+    im1, im2 = _pair(rng, 128, 96, dy=2, dx=1)
+    mesh = _mesh(("ty", "tx"), (4, 2))
+    want = np.asarray(engine.estimate_flow_padded(im1, im2, cfg))
+    got = np.asarray(
+        tiled.estimate_flow_padded_tiled(im1, im2, cfg, mesh, axis_x="tx")
+    )
+    np.testing.assert_array_equal(got, want)
