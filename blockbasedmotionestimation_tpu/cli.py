@@ -37,6 +37,7 @@ def _cfg_from_args(args) -> "MotionConfig":
         rival_radius=args.rival_radius,
         mv_cap=args.mv_cap,
         cv_compact=args.cv_compact,
+        cv_fused=args.cv_fused,
     )
 
 
@@ -59,6 +60,11 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cv-compact", type=int, default=None,
                    help="K-slot compact cost volumes (capacity mode for "
                         "very large frames; see config docs)")
+    p.add_argument("--cv-fused", type=int, default=None,
+                   help="chunk-fused fine rounds: recompute costs for "
+                        "sub-block sizes <= this in-kernel from VMEM window "
+                        "slabs instead of materializing their dense cost "
+                        "volumes (bit-exact; typical value 4)")
 
 
 def cmd_estimate(args) -> int:

@@ -300,3 +300,39 @@ def test_run_schedule_scan_equals_static_sweeps_odd_grid(rng):
         cur >>= 1
         lam *= 2.0
     np.testing.assert_array_equal(got, ref)
+
+
+def test_mv_cap_beyond_cap_degrades_documented(rng):
+    import jax.numpy as jnp
+
+    # mv_cap's failure mode, measured rather than asserted harmless
+    # (r2 VERDICT item 4a): motion WITHIN the cap's reach is recovered
+    # exactly; motion beyond it cannot be (the clamped prediction centers
+    # the finest search too far from the truth).  Reach at the finest
+    # level = cap + spiral extent.
+    cfg = MotionConfig(
+        block_sizes=(4, 4, 4), search_sizes=(12, 12, 12), interp_factor=1,
+        regularizer="windowed", mv_cap=8,
+    )
+    h, w, m = 96, 160, 40
+    base = rng.integers(0, 256, size=(h + 2 * m, w + 2 * m), dtype=np.uint8)
+
+    def flow_for(shift):
+        im1 = base[m : m + h, m : m + w]
+        im2 = base[m : m + h, m + shift : m + shift + w]
+        f = np.asarray(engine.estimate_flow_driver(im1, im2, cfg))
+        return f[40:56, 64:96]  # interior
+
+    inner8 = flow_for(8)   # within reach: recovered exactly
+    assert (inner8[..., 0] == -8.0).all(), inner8[..., 0]
+    inner16 = flow_for(16)  # beyond reach (cap 8 + extent 4 = 12 < 16)
+    assert not (inner16[..., 0] == -16.0).any(), "cap should forbid this"
+    # control: the uncapped model recovers it
+    un16 = np.asarray(
+        engine.estimate_flow_driver(
+            jnp.asarray(base[m : m + h, m : m + w]),
+            jnp.asarray(base[m : m + h, m + 16 : m + 16 + w]),
+            cfg.replace(mv_cap=None),
+        )
+    )[40:56, 64:96]
+    assert (un16[..., 0] == -16.0).all()
