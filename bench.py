@@ -4,7 +4,12 @@ Workload: a batch of eight 1080p (1080x1920) grayscale frame pairs through the f
 configuration - 4-level pyramid, 32px blocks, 64px search windows (the
 reference's shipped config, main_class.cpp:19-21, minus the 4x Middlebury
 interpolation trick), windowed regularization (the gather-free TPU schedule)
-to 1px blocks.
+WITH rival windows (radius 8) to 1px blocks.  This is the accuracy-qualified
+production config: rival windows close the windowed-vs-fourcolor gap at
+motion discontinuities (EVAL_full.md: 0.0188 mean-EPE gap at r8 vs 0.0953
+without), and the hybrid rival kernel (dense main CV + slab-recomputed
+rival candidates, kernels/fused_step.py) runs it at B=8 with no second
+cost volume.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -62,6 +67,8 @@ def main() -> None:
         search_sizes=(64, 64, 64, 64),
         interp_factor=1,
         regularizer="windowed",  # the TPU production fast path
+        rival_window=True,       # accuracy-qualified: <=0.02 EPE gap (r8)
+        rival_radius=8,
     )
     rng = np.random.default_rng(0)
     B = 8  # production throughput batch (B-scaling measured: 8.7/10.3/10.7/10.8 fields/s at B=2/4/6/8): one jitted program, B fields

@@ -119,15 +119,19 @@ class MotionConfig:
     search_sizes: tuple[int, ...] = (64, 64, 64, 64)
     interp_factor: int = 4
     cost: CostKind = "sad"
-    regularizer: RegularizerMode = "fourcolor"
+    # the production default IS what bench.py and the README run: windowed
+    # scheduling with rival windows at radius 8 (mean-EPE gap to unrestricted
+    # fourcolor evaluation 0.0188, EVAL_full.md).  The reference-faithful
+    # schedules remain one flag away (regularizer="exact"/"fourcolor").
+    regularizer: RegularizerMode = "windowed"
     sweeps_per_round: int = 2
     lambda_scale: float = 0.5
     search_impl: SearchImpl = "auto"
     search_order: SearchOrder = "spiral"
     reg_radius: int | None = None
     window_center: Literal["pred", "search"] = "pred"
-    rival_window: bool = False
-    rival_radius: int | None = None
+    rival_window: bool = True
+    rival_radius: int | None = 8
     mv_cap: int | None = None
     cv_compact: int | None = None
     cv_compact_ring: int = 3

@@ -39,6 +39,16 @@ from blockbasedmotionestimation_tpu.kernels.reg_step import _finish_step
 
 _I32_BIG = np.int32(1 << 20)
 
+# perf-diagnosis ablations (results are WRONG when set):
+#   BBME_FUSED_NOLOOP=1  skip the bbox cost loops (isolates fixed overhead)
+#   BBME_FUSED_ABLATE=nofinish  noloop + skip _finish_step's energy tail
+#   BBME_FUSED_ABLATE=bare      nofinish + skip key/bbox scalar prologue
+import os as _os
+_ABLATE = _os.environ.get("BBME_FUSED_ABLATE", "")
+_SKIP_BBOX = _os.environ.get("BBME_FUSED_NOLOOP") == "1" or _ABLATE in (
+    "nofinish", "bare"
+)
+
 
 def prep_slabs(
     patches_t: jnp.ndarray,  # (bs, bs, nP) i16
@@ -47,9 +57,18 @@ def prep_slabs(
     ext: int,
     r: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Lane-padded kernel inputs: (4, bs, bs//4, nPp) frame-1 parity planes
-    and the (win, cols, nPp) frame-2 window slab (columns cropped/padded to
-    the 8-aligned group loads' reach, mirroring the CV build kernels)."""
+    """CHUNK-MAJOR kernel inputs: (nch, 4, bs, bs//4, 128) frame-1 parity
+    planes and the (nch, win, cols, 128) frame-2 window slab (columns
+    cropped/padded to the 8-aligned group loads' reach, mirroring the CV
+    build kernels).
+
+    The chunk dim leads so one color-step tile's slab is a CONTIGUOUS HBM
+    run (these slabs are re-fetched EVERY color step; same lesson as r2's
+    chunk-major CV), and both arrive pre-split into x-parity planes so the
+    kernel's per-delta diffs use only STATIC plane/offset indexing (the
+    ``_diff_kernel_static`` structure - an earlier dynamically-sliced
+    variant cost ~9 us per 8-delta group and made fused rounds slower than
+    the dense streaming they replace)."""
     cb = 128
     n_p = patches_t.shape[-1]
     npad = -n_p % cb
@@ -57,6 +76,7 @@ def prep_slabs(
         patches_t = jnp.pad(patches_t, ((0, 0), (0, 0), (0, npad)))
         windows_t = jnp.pad(windows_t, ((0, 0), (0, 0), (0, npad)))
     n = n_p + npad
+    nch = n // cb
     side = 2 * r + 1
     ngroups = (side + 7) // 8
     cols = 8 * ngroups + bs
@@ -66,8 +86,14 @@ def prep_slabs(
         wslab = jnp.pad(wslab, ((0, 0), (0, pad_c), (0, 0)))
     else:
         wslab = wslab[:, :cols, :]
-    patches_pl = patches_t.reshape(bs, bs // 4, 4, n).transpose(2, 0, 1, 3)
-    return patches_pl, wslab
+    win = wslab.shape[0]
+    wplanes = (
+        wslab.reshape(win, cols // 4, 4, nch, cb).transpose(3, 2, 0, 1, 4)
+    )
+    patches_pl = (
+        patches_t.reshape(bs, bs // 4, 4, nch, cb).transpose(3, 2, 0, 1, 4)
+    )
+    return patches_pl, wplanes
 
 
 def _pool_select_color(halves, bs: int, cur: int, ci, cj):
@@ -101,66 +127,87 @@ def _accumulate_bbox(
     acc_ref, wslab_ref, bp, key, dmin_y, dmax_y, dmin_x, dmax_x,
     *, bs: int, ext: int, r: int, side: int, cur: int, cost: str, ci, cj,
 ):
-    """Visit every delta in the [dmin, dmax] bbox (CV-index coords): compute
-    the pooled color-cell costs from the VMEM window slab and one-hot
-    accumulate them into the 9-candidate acc wherever ``key`` matches.
+    """Visit the candidate bbox [dmin_y..dmax_y] x [dmin_x..dmax_x]
+    (CV-index coords): compute pooled color-cell costs from the VMEM window
+    planes and one-hot accumulate them into the 9-candidate acc wherever
+    ``key`` matches.
 
-    Structure: straight-line 8-delta groups (one slab load + ONE parity-
-    plane relayout + ONE acc read-modify-write per group; the 8 per-delta
-    cost trees run unconditionally and out-of-bbox deltas simply match no
-    key).  A per-delta predicated version RMW'd the full (9, s2, s2, 128)
-    accumulator through VMEM once per delta and ran ~5x slower.
+    Structure: a STATIC unroll over 4-wide column groups, each gated ONCE
+    by ``pl.when`` on the column bbox (fine rounds' bboxes are typically
+    1-3 columns wide, so most of a 33-column window's compute is skipped
+    by the branch, not predicated); inside an active group, ONE dynamic
+    fori_loop over the bbox's delta rows with the 9-candidate acc as the
+    loop carry (kept resident across rows - no per-row read-modify-write).
+    Every memory slice is static except the row offset (dim 2, above the
+    tiled (sublane, lane) pair, so no alignment proof is needed); the
+    pre-split x-parity planes give static plane indices ((p + j) % 4 with
+    j static) and static sublane offsets.  Earlier variants paid dearly
+    elsewhere: a per-delta predicated form RMW'd the acc through VMEM per
+    delta (~5x slower end to end); a lane-minor 8-delta-group form paid
+    ~9 us per group in reshape relayouts; a dynamic sublane-offset group
+    load is rejected by Mosaic (offsets in the sublane dim must be
+    provably 8-aligned); a row-at-a-time static unroll of all ``side``
+    columns wasted ~4x the compute on out-of-bbox deltas and paid the
+    9 branch checks per row instead of once.
     """
     q4 = bs // 4
     s2h = bs // 2
     cb = bp[0].shape[-1]
+    if _SKIP_BBOX:
+        return
+    ngroups4 = (side + 3) // 4
+    gmin4 = dmin_x // 4
+    gmax4 = dmax_x // 4
 
-    def row_body(dyi, _):
-        def grp_body(g, __):
-            wide = wslab_ref[pl.ds(ext - r + dyi, bs), pl.ds(8 * g, bs + 8), :]
-            wr = wide.reshape(bs, (bs + 8) // 4, 4, cb)
-            acc = acc_ref[...]
-            for j in range(8):
-                dxi = 8 * g + j
-                halves = []
-                for bx in range(2):
-                    accp = None
-                    for p in (2 * bx, 2 * bx + 1):
-                        c = (p + j) % 4
-                        off = (p + j) // 4
-                        d = bp[p] - wr[:, off : off + q4, c, :].astype(
-                            jnp.int32
+    for g in range(ngroups4):
+
+        @pl.when(jnp.logical_and(g >= gmin4, g <= gmax4))
+        def _(g=g):
+            def rowg_body(dyi, acc):
+                wq = [
+                    wslab_ref[
+                        0, c, pl.ds(ext - r + dyi, bs), g : g + q4 + 1, :
+                    ].astype(jnp.int32)
+                    for c in range(4)
+                ]
+                rbase = dyi * side
+                for j in range(4):
+                    dx = 4 * g + j
+                    if dx >= side:
+                        continue
+                    halves = []
+                    for bx in range(2):
+                        accp = None
+                        for p in (2 * bx, 2 * bx + 1):
+                            c = (p + j) % 4
+                            soff = (p + j) // 4
+                            d = bp[p] - wq[c][:, soff : soff + q4, :]
+                            d = jnp.abs(d) if cost == "sad" else d * d
+                            accp = d if accp is None else accp + d
+                        halves.append(
+                            accp.reshape(s2h, 2, q4, cb).sum(axis=1)
                         )
-                        d = jnp.abs(d) if cost == "sad" else d * d
-                        accp = d if accp is None else accp + d
-                    halves.append(accp.reshape(s2h, 2, q4, cb).sum(axis=1))
-                h = _pool_select_color(halves, bs, cur, ci, cj)
-                s_flat = dyi * side + dxi
-                # dxi < side guards the group tail from aliasing row dyi+1
-                acc = jnp.where(
-                    jnp.logical_and(key == s_flat, dxi < side), h[None], acc
-                )
-            acc_ref[...] = acc
-            return 0
+                    h = _pool_select_color(halves, bs, cur, ci, cj)
+                    acc = jnp.where(key == rbase + dx, h[None], acc)
+                return acc
 
-        jax.lax.fori_loop(dmin_x // 8, dmax_x // 8 + 1, grp_body, 0)
-        return 0
-
-    jax.lax.fori_loop(dmin_y, dmax_y + 1, row_body, 0)
+            acc_ref[...] = jax.lax.fori_loop(
+                dmin_y, dmax_y + 1, rowg_body, acc_ref[...]
+            )
 
 
 def _kernel_pm_fused(
     sc_ref,        # (4,) i32 prefetch: [color, ci, cj, row0_b]
     lam_ref,       # (1, 1) f32 SMEM
-    patches_ref,   # (4, bs, bs//4, 128) i16 x-parity planes of frame-1 blocks
-    wslab_ref,     # (win, cols, 128) i16 frame-2 window slab
-    cands_ref,     # (9, 2, s2, s2, 128) i32
-    pm_ref,        # (2, 128) i32 window-center MVs
-    present_ref,   # (1, 9, s2, s2, 128) i32
-    rank_ref,      # (1, 9, s2, s2, 128) i32
-    oy_ref,        # (1, s2, 1, 128) i32
-    ox_ref,        # (1, s2, 128) i32
-    out_ref,       # (2, s2, s2, 128) i32
+    patches_ref,   # (1, 4, bs, bs//4, 128) i16 x-parity planes (chunk-major)
+    wslab_ref,     # (1, 4, win, cols//4, 128) i16 window parity planes
+    cands_ref,     # (1, 9, 2, s2, s2, 128) i32 (chunk-major)
+    pm_ref,        # (1, 2, 128) i32 window-center MVs
+    present_ref,   # (1, 1, 9, s2, s2, 128) i32
+    rank_ref,      # (1, 1, 9, s2, s2, 128) i32
+    oy_ref,        # (1, 1, s2, 1, 128) i32
+    ox_ref,        # (1, 1, s2, 128) i32
+    out_ref,       # (1, 2, s2, s2, 128) i32 (chunk-major)
     acc_ref,       # scratch (9, s2, s2, 128) i32
     *,
     bs: int,
@@ -174,12 +221,17 @@ def _kernel_pm_fused(
     side = 2 * r + 1
     ci = sc_ref[1]
     cj = sc_ref[2]
-    cands = cands_ref[...]
+    cands = cands_ref[0]
     cx, cy = cands[:, 0], cands[:, 1]          # (9, s2, s2, 128)
-    pm = pm_ref[...]
-    present = present_ref[0]
-    rank = rank_ref[0]
+    pm = pm_ref[0]
+    present = present_ref[0, 0]
+    rank = rank_ref[0, 0]
     lam = lam_ref[0, 0]
+
+    if _ABLATE == "bare":
+        out_ref[0, 0] = cx[0] + patches_ref[0, 0, 0, 0].astype(jnp.int32)
+        out_ref[0, 1] = cy[0] + wslab_ref[0, 0, 0, 0].astype(jnp.int32)
+        return
 
     ddx = cx - pm[0][None, None, None]
     ddy = cy - pm[1][None, None, None]
@@ -193,19 +245,26 @@ def _kernel_pm_fused(
     xmax = jnp.max(jnp.where(bound_on, ddx, -_I32_BIG)) + r
 
     acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.int32)
-    bp = [patches_ref[p].astype(jnp.int32) for p in range(4)]
+    bp = [patches_ref[0, p].astype(jnp.int32) for p in range(4)]
     _accumulate_bbox(
         acc_ref, wslab_ref, bp, key, ymin, ymax, xmin, xmax,
         bs=bs, ext=ext, r=r, side=side, cur=cur, cost=cost, ci=ci, cj=cj,
     )
     costs = acc_ref[...]
 
-    tx = ox_ref[0][None, None] + cx
-    ty = oy_ref[0][None] + cy
+    if _ABLATE == "nofinish":
+        out_ref[0, 0] = cx[0] + costs[0] + ymin + xmin
+        out_ref[0, 1] = cy[0] + key[0]
+        return
+
+    tx = ox_ref[0, 0][None, None] + cx
+    ty = oy_ref[0, 0][None] + cy
     in_img = (
         (tx >= 0) & (tx <= full_w - cur) & (ty >= 0) & (ty <= full_h - cur)
     )
-    _finish_step(cx, cy, costs, present, rank, lam, in_window, in_img, out_ref)
+    nx, ny = _finish_step(cx, cy, costs, present, rank, lam, in_window, in_img)
+    out_ref[0, 0] = nx
+    out_ref[0, 1] = ny
 
 
 def _kernel_pm_fused_rival(
@@ -227,12 +286,12 @@ def _kernel_pm_fused_rival(
     side2 = 2 * r2 + 1
     ci = sc_ref[1]
     cj = sc_ref[2]
-    cands = cands_ref[...]
+    cands = cands_ref[0]
     cx, cy = cands[:, 0], cands[:, 1]
-    pm = pm_ref[...]
-    rpm = rpm_ref[...]
-    present = present_ref[0]
-    rank = rank_ref[0]
+    pm = pm_ref[0]
+    rpm = rpm_ref[0]
+    present = present_ref[0, 0]
+    rank = rank_ref[0, 0]
     lam = lam_ref[0, 0]
 
     ddx = cx - pm[0][None, None, None]
@@ -247,7 +306,7 @@ def _kernel_pm_fused_rival(
     )
 
     acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.int32)
-    bp = [patches_ref[p].astype(jnp.int32) for p in range(4)]
+    bp = [patches_ref[0, p].astype(jnp.int32) for p in range(4)]
 
     bound_on = in_window & (present != 0)
     ymin = jnp.min(jnp.where(bound_on, ddy, _I32_BIG)) + r
@@ -271,15 +330,16 @@ def _kernel_pm_fused_rival(
     )
     costs = acc_ref[...]
 
-    tx = ox_ref[0][None, None] + cx
-    ty = oy_ref[0][None] + cy
+    tx = ox_ref[0, 0][None, None] + cx
+    ty = oy_ref[0, 0][None] + cy
     in_img = (
         (tx >= 0) & (tx <= full_w - cur) & (ty >= 0) & (ty <= full_h - cur)
     )
-    _finish_step(
-        cx, cy, costs, present, rank, lam, in_window | in_rival, in_img,
-        out_ref,
+    nx, ny = _finish_step(
+        cx, cy, costs, present, rank, lam, in_window | in_rival, in_img
     )
+    out_ref[0, 0] = nx
+    out_ref[0, 1] = ny
 
 
 @functools.partial(
@@ -291,14 +351,14 @@ def _kernel_pm_fused_rival(
 def windowed_color_step_pm_fused(
     scalars: jnp.ndarray,         # (4,) i32 [color, ci, cj, row0_b]
     lam_mult: jnp.ndarray,        # f32 scalar
-    patches_pl: jnp.ndarray,      # (4, bs, bs//4, nPp) i16 parity planes
-    wslab: jnp.ndarray,           # (win, cols, nPp) i16 window slab
-    cands_pm: jnp.ndarray,        # (9, 2, s2, s2, nPp) i32
-    pm_lane: jnp.ndarray,         # (2, nPp) i32
-    present_pm: jnp.ndarray,      # (4, 9, s2, s2, nPp) i32
-    rank_pm: jnp.ndarray,         # (4, 9, s2, s2, nPp) i32
-    oy_cell: jnp.ndarray,         # (4, s2, 1, nPp) i32
-    ox_cell: jnp.ndarray,         # (4, s2, nPp) i32
+    patches_pl: jnp.ndarray,      # (nch, 4, bs, bs//4, 128) i16 parity planes
+    wslab: jnp.ndarray,           # (nch, 4, win, cols//4, 128) i16 slab
+    cands_pm: jnp.ndarray,        # (nch, 9, 2, s2, s2, 128) i32
+    pm_lane: jnp.ndarray,         # (nch, 2, 128) i32
+    present_pm: jnp.ndarray,      # (4, nch, 9, s2, s2, 128) i32
+    rank_pm: jnp.ndarray,         # (4, nch, 9, s2, s2, 128) i32
+    oy_cell: jnp.ndarray,         # (4, nch, s2, 1, 128) i32
+    ox_cell: jnp.ndarray,         # (4, nch, s2, 128) i32
     bs: int,
     ext: int,
     r: int,
@@ -308,10 +368,15 @@ def windowed_color_step_pm_fused(
     full_w: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(2, s2, s2, nPp) i32 winner MVs; no cost volume exists anywhere."""
+    """(nch, 2, s2, s2, 128) i32 winner MVs; no cost volume exists anywhere.
+
+    ALL operands are chunk-major (parent-chunk dim leading) so every
+    per-tile block is one contiguous HBM run - see the dense wrapper's
+    docstring for the lane-minor DMA-descriptor pathology this avoids.
+    """
     s2 = (bs // cur) // 2
-    npp = pm_lane.shape[-1]
-    win, cols = wslab.shape[0], wslab.shape[1]
+    npp = pm_lane.shape[0] * 128
+    win, cols4 = wslab.shape[2], wslab.shape[3]
     q4 = bs // 4
     grid = (npp // 128,)
 
@@ -321,27 +386,29 @@ def windowed_color_step_pm_fused(
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, sc: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, bs, q4, 128), lambda i, sc: (0, 0, 0, i),
+            pl.BlockSpec((1, 4, bs, q4, 128), lambda i, sc: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((win, cols, 128), lambda i, sc: (0, 0, i),
+            pl.BlockSpec((1, 4, win, cols4, 128),
+                         lambda i, sc: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, 2, s2, s2, 128), lambda i, sc: (0, 0, 0, 0, i),
+            pl.BlockSpec((1, 9, 2, s2, s2, 128),
+                         lambda i, sc: (i, 0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda i, sc: (0, i),
+            pl.BlockSpec((1, 2, 128), lambda i, sc: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, s2, s2, 128),
-                         lambda i, sc: (sc[0], 0, 0, 0, i),
+            pl.BlockSpec((1, 1, 9, s2, s2, 128),
+                         lambda i, sc: (sc[0], i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, s2, s2, 128),
-                         lambda i, sc: (sc[0], 0, 0, 0, i),
+            pl.BlockSpec((1, 1, 9, s2, s2, 128),
+                         lambda i, sc: (sc[0], i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s2, 1, 128), lambda i, sc: (sc[0], 0, 0, i),
+            pl.BlockSpec((1, 1, s2, 1, 128), lambda i, sc: (sc[0], i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s2, 128), lambda i, sc: (sc[0], 0, i),
+            pl.BlockSpec((1, 1, s2, 128), lambda i, sc: (sc[0], i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (2, s2, s2, 128), lambda i, sc: (0, 0, 0, i),
+            (1, 2, s2, s2, 128), lambda i, sc: (i, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((9, s2, s2, 128), jnp.int32)],
@@ -352,7 +419,7 @@ def windowed_color_step_pm_fused(
             full_h=full_h, full_w=full_w,
         ),
         grid_spec=gs,
-        out_shape=jax.ShapeDtypeStruct((2, s2, s2, npp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((npp // 128, 2, s2, s2, 128), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
@@ -371,12 +438,12 @@ def windowed_color_step_pm_fused(
 def windowed_color_step_pm_fused_rival(
     scalars: jnp.ndarray,
     lam_mult: jnp.ndarray,
-    patches_pl: jnp.ndarray,      # (4, bs, bs//4, nPp) i16
-    wslab: jnp.ndarray,           # (win, cols, nPp) i16
-    rwslab: jnp.ndarray,          # (rwin, rcols, nPp) i16 rival slab
+    patches_pl: jnp.ndarray,      # (nch, 4, bs, bs//4, 128) i16
+    wslab: jnp.ndarray,           # (nch, 4, win, cols//4, 128) i16
+    rwslab: jnp.ndarray,          # (nch, 4, rwin, rcols//4, 128) i16 rival
     cands_pm: jnp.ndarray,
     pm_lane: jnp.ndarray,
-    rpm_lane: jnp.ndarray,        # (2, nPp) i32 rival centers
+    rpm_lane: jnp.ndarray,        # (nch, 2, 128) i32 rival centers
     present_pm: jnp.ndarray,
     rank_pm: jnp.ndarray,
     oy_cell: jnp.ndarray,
@@ -391,11 +458,11 @@ def windowed_color_step_pm_fused_rival(
     full_w: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Rival-mode fused color step (both slabs VMEM-resident)."""
+    """Rival-mode fused color step (both slabs VMEM-resident), chunk-major."""
     s2 = (bs // cur) // 2
-    npp = pm_lane.shape[-1]
-    win, cols = wslab.shape[0], wslab.shape[1]
-    rwin, rcols = rwslab.shape[0], rwslab.shape[1]
+    npp = pm_lane.shape[0] * 128
+    win, cols4 = wslab.shape[2], wslab.shape[3]
+    rwin, rcols4 = rwslab.shape[2], rwslab.shape[3]
     q4 = bs // 4
     grid = (npp // 128,)
 
@@ -405,31 +472,34 @@ def windowed_color_step_pm_fused_rival(
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, sc: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, bs, q4, 128), lambda i, sc: (0, 0, 0, i),
+            pl.BlockSpec((1, 4, bs, q4, 128), lambda i, sc: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((win, cols, 128), lambda i, sc: (0, 0, i),
+            pl.BlockSpec((1, 4, win, cols4, 128),
+                         lambda i, sc: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rwin, rcols, 128), lambda i, sc: (0, 0, i),
+            pl.BlockSpec((1, 4, rwin, rcols4, 128),
+                         lambda i, sc: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, 2, s2, s2, 128), lambda i, sc: (0, 0, 0, 0, i),
+            pl.BlockSpec((1, 9, 2, s2, s2, 128),
+                         lambda i, sc: (i, 0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda i, sc: (0, i),
+            pl.BlockSpec((1, 2, 128), lambda i, sc: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda i, sc: (0, i),
+            pl.BlockSpec((1, 2, 128), lambda i, sc: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, s2, s2, 128),
-                         lambda i, sc: (sc[0], 0, 0, 0, i),
+            pl.BlockSpec((1, 1, 9, s2, s2, 128),
+                         lambda i, sc: (sc[0], i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, s2, s2, 128),
-                         lambda i, sc: (sc[0], 0, 0, 0, i),
+            pl.BlockSpec((1, 1, 9, s2, s2, 128),
+                         lambda i, sc: (sc[0], i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s2, 1, 128), lambda i, sc: (sc[0], 0, 0, i),
+            pl.BlockSpec((1, 1, s2, 1, 128), lambda i, sc: (sc[0], i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s2, 128), lambda i, sc: (sc[0], 0, i),
+            pl.BlockSpec((1, 1, s2, 128), lambda i, sc: (sc[0], i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (2, s2, s2, 128), lambda i, sc: (0, 0, 0, i),
+            (1, 2, s2, s2, 128), lambda i, sc: (i, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((9, s2, s2, 128), jnp.int32)],
@@ -440,7 +510,7 @@ def windowed_color_step_pm_fused_rival(
             cost=cost, full_h=full_h, full_w=full_w,
         ),
         grid_spec=gs,
-        out_shape=jax.ShapeDtypeStruct((2, s2, s2, npp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((npp // 128, 2, s2, s2, 128), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
@@ -448,3 +518,196 @@ def windowed_color_step_pm_fused_rival(
     )(scalars, jnp.reshape(lam_mult.astype(jnp.float32), (1, 1)),
       patches_pl, wslab, rwslab, cands_pm, pm_lane, rpm_lane, present_pm,
       rank_pm, oy_cell, ox_cell)
+
+
+# ------------------------------------------------------------- hybrid rival
+# Dense main window + slab-recomputed rival: the production rival mode.  The
+# main window's costs come from the dense pooled CV exactly like
+# ``reg_step._kernel_pm`` (full streaming speed); only the rare own-excluded
+# candidates that land in the rival window are recomputed against the
+# VMEM-resident rival slab.  This removes the SECOND dense cost volume that
+# rival mode otherwise builds (reference analogue: the unrestricted candidate
+# re-evaluation of ``motion_framework.cpp:594-602``), which was both ~30% of
+# the CV build time and the HBM transient that kept rival from batching at
+# B=8 (DESIGN.md section 3b).
+
+
+def _kernel_pm_hybrid(
+    sc_ref,        # (4,) i32 prefetch: [color, ci, cj, row0_b]
+    lam_ref,       # (1, 1) f32 SMEM
+    cv_ref,        # (s2, 1, 1, 1, side, side, s2, 128): color CV (whole chunk)
+    patches_ref,   # (1, 4, bs, bs//4, 128) i16 x-parity planes
+    rwslab_ref,    # (1, 4, rwin, rcols//4, 128) i16 rival window planes
+    cands_ref,     # (1, 9, 2, s2, s2, 128) i32
+    pm_ref,        # (1, 2, 128) i32 window-center MVs
+    rpm_ref,       # (1, 2, 128) i32 rival-center MVs
+    present_ref,   # (1, 1, 9, s2, s2, 128) i32
+    rank_ref,      # (1, 1, 9, s2, s2, 128) i32
+    oy_ref,        # (1, 1, s2, 1, 128) i32
+    ox_ref,        # (1, 1, s2, 128) i32
+    out_ref,       # (1, 2, s2, s2, 128) i32
+    acc_ref,       # scratch (9, s2, s2, 128) i32
+    *,
+    side: int,
+    r: int,
+    bs: int,
+    r2: int,
+    cur: int,
+    cost: str,
+    full_h: int,
+    full_w: int,
+):
+    side2 = 2 * r2 + 1
+    ci = sc_ref[1]
+    cj = sc_ref[2]
+    cands = cands_ref[0]
+    cx, cy = cands[:, 0], cands[:, 1]
+    pm = pm_ref[0]
+    rpm = rpm_ref[0]
+    present = present_ref[0, 0]
+    rank = rank_ref[0, 0]
+    lam = lam_ref[0, 0]
+
+    ddx = cx - pm[0][None, None, None]
+    ddy = cy - pm[1][None, None, None]
+    in_window = (ddx >= -r) & (ddx <= r) & (ddy >= -r) & (ddy <= r)
+    key = jnp.where(in_window, (ddy + r) * side + (ddx + r), -1)
+    rdx = cx - rpm[0][None, None, None]
+    rdy = cy - rpm[1][None, None, None]
+    in_rival = (rdx >= -r2) & (rdx <= r2) & (rdy >= -r2) & (rdy <= r2)
+    key_r = jnp.where(
+        in_rival & ~in_window, (rdy + r2) * side2 + (rdx + r2), -1
+    )
+
+    # main window: dense CV one-hot pick over the candidate bbox
+    bound_on = in_window & (present != 0)
+    ymin = jnp.min(jnp.where(bound_on, ddy, _I32_BIG))
+    ymax = jnp.max(jnp.where(bound_on, ddy, -_I32_BIG))
+    xmin = jnp.min(jnp.where(bound_on, ddx, _I32_BIG))
+    xmax = jnp.max(jnp.where(bound_on, ddx, -_I32_BIG))
+    acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.int32)
+
+    def pick_row(dy, _):
+        def pick_col(dx, __):
+            s = (dy + r) * side + (dx + r)
+            v = cv_ref[:, 0, 0, 0, dy + r, dx + r].astype(jnp.int32)
+            acc_ref[...] = jnp.where(key == s, v[None], acc_ref[...])
+            return 0
+
+        jax.lax.fori_loop(xmin, xmax + 1, pick_col, 0)
+        return 0
+
+    jax.lax.fori_loop(ymin, ymax + 1, pick_row, 0)
+
+    # rival window: slab recompute, empty bbox on smooth tiles
+    bp = [patches_ref[0, p].astype(jnp.int32) for p in range(4)]
+    bound_r = (key_r >= 0) & (present != 0)
+    rymin = jnp.min(jnp.where(bound_r, rdy, _I32_BIG)) + r2
+    rymax = jnp.max(jnp.where(bound_r, rdy, -_I32_BIG)) + r2
+    rxmin = jnp.min(jnp.where(bound_r, rdx, _I32_BIG)) + r2
+    rxmax = jnp.max(jnp.where(bound_r, rdx, -_I32_BIG)) + r2
+    _accumulate_bbox(
+        acc_ref, rwslab_ref, bp, key_r, rymin, rymax, rxmin, rxmax,
+        bs=bs, ext=r2, r=r2, side=side2, cur=cur, cost=cost, ci=ci, cj=cj,
+    )
+    costs = acc_ref[...]
+
+    tx = ox_ref[0, 0][None, None] + cx
+    ty = oy_ref[0, 0][None] + cy
+    in_img = (
+        (tx >= 0) & (tx <= full_w - cur) & (ty >= 0) & (ty <= full_h - cur)
+    )
+    nx, ny = _finish_step(
+        cx, cy, costs, present, rank, lam, in_window | in_rival, in_img
+    )
+    out_ref[0, 0] = nx
+    out_ref[0, 1] = ny
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "side", "r", "bs", "r2", "cur", "cost", "full_h", "full_w", "interpret"
+    ),
+)
+def windowed_color_step_pm_hybrid(
+    scalars: jnp.ndarray,         # (4,) i32 [color, ci, cj, row0_b]
+    lam_mult: jnp.ndarray,        # f32 scalar
+    cv_pm: jnp.ndarray,           # (f//2, 2, 2, nch, side, side, s2, 128)
+    patches_pl: jnp.ndarray,      # (nch, 4, bs, bs//4, 128) i16
+    rwslab: jnp.ndarray,          # (nch, 4, rwin, rcols//4, 128) i16
+    cands_pm: jnp.ndarray,        # (nch, 9, 2, s2, s2, 128) i32
+    pm_lane: jnp.ndarray,         # (nch, 2, 128) i32
+    rpm_lane: jnp.ndarray,        # (nch, 2, 128) i32
+    present_pm: jnp.ndarray,      # (4, nch, 9, s2, s2, 128) i32
+    rank_pm: jnp.ndarray,         # (4, nch, 9, s2, s2, 128) i32
+    oy_cell: jnp.ndarray,         # (4, nch, s2, 1, 128) i32
+    ox_cell: jnp.ndarray,         # (4, nch, s2, 128) i32
+    side: int,
+    r: int,
+    bs: int,
+    r2: int,
+    cur: int,
+    cost: str,
+    full_h: int,
+    full_w: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(nch, 2, s2, s2, 128) i32 winners: dense main CV + slab rival."""
+    s2, npp = cv_pm.shape[6], cv_pm.shape[3] * 128
+    rwin, rcols4 = rwslab.shape[2], rwslab.shape[3]
+    q4 = bs // 4
+    grid = (npp // 128,)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, sc: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((s2, 1, 1, 1, side, side, s2, 128),
+                         lambda i, sc: (0, sc[1], sc[2], i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, bs, q4, 128), lambda i, sc: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, rwin, rcols4, 128),
+                         lambda i, sc: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, 2, s2, s2, 128),
+                         lambda i, sc: (i, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 128), lambda i, sc: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 128), lambda i, sc: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 9, s2, s2, 128),
+                         lambda i, sc: (sc[0], i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 9, s2, s2, 128),
+                         lambda i, sc: (sc[0], i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s2, 1, 128), lambda i, sc: (sc[0], i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s2, 128), lambda i, sc: (sc[0], i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, s2, s2, 128), lambda i, sc: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((9, s2, s2, 128), jnp.int32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_pm_hybrid, side=side, r=r, bs=bs, r2=r2, cur=cur,
+            cost=cost, full_h=full_h, full_w=full_w,
+        ),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((npp // 128, 2, s2, s2, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(scalars, jnp.reshape(lam_mult.astype(jnp.float32), (1, 1)), cv_pm,
+      patches_pl, rwslab, cands_pm, pm_lane, rpm_lane, present_pm, rank_pm,
+      oy_cell, ox_cell)

@@ -93,14 +93,17 @@ def _kernel(
     in_img = (
         (tx >= 0) & (tx <= full_w - cur) & (ty >= 0) & (ty <= full_h - cur)
     )
-    _finish_step(cx, cy, costs, present, rank, lam, in_window, in_img, out_ref)
+    nx, ny = _finish_step(cx, cy, costs, present, rank, lam, in_window, in_img)
+    out_ref[0] = nx
+    out_ref[1] = ny
 
 
-def _finish_step(cx, cy, costs, present, rank, lam, evaluable, in_img, out_ref):
-    """Common tail: smoothness + energy + lexicographic winner + write-back.
+def _finish_step(cx, cy, costs, present, rank, lam, evaluable, in_img):
+    """Common tail: smoothness + energy + lexicographic winner.
 
     cx/cy/costs/present/rank: (9, ...) candidate-major tiles; evaluable is
     the window-coverage mask (own window, or either window in rival mode).
+    Returns (new_x, new_y); callers write them into their out layout.
     """
     smooth = jnp.zeros(cx.shape, jnp.int32)
     for j in range(9):
@@ -130,21 +133,20 @@ def _finish_step(cx, cy, costs, present, rank, lam, evaluable, in_img, out_ref):
     for k in range(1, 9):
         new_x = jnp.where(win == k, cx[k], new_x)
         new_y = jnp.where(win == k, cy[k], new_y)
-    out_ref[0] = new_x
-    out_ref[1] = new_y
+    return new_x, new_y
 
 
 def _kernel_pm(
     sc_ref,        # (4,) i32 prefetch: [color, ci, cj, row0_b] (unused here)
     lam_ref,       # (1, 1) f32 SMEM
     cv_ref,        # (R, 1, 1, 1, side, side, s2, 128): color CV, R sy rows
-    cands_ref,     # (9, 2, R, s2, 128) i32
-    pm_ref,        # (2, 128) i32 parent search MVs
-    present_ref,   # (1, 9, R, s2, 128) i32
-    rank_ref,      # (1, 9, R, s2, 128) i32
-    oy_ref,        # (1, R, 1, 128) i32: cur * global block row per cell row
-    ox_ref,        # (1, s2, 128) i32: cur * global block col per cell col
-    out_ref,       # (2, R, s2, 128) i32
+    cands_ref,     # (1, 9, 2, R, s2, 128) i32 (chunk-major: dim 0 = chunk)
+    pm_ref,        # (1, 2, 128) i32 parent search MVs
+    present_ref,   # (1, 1, 9, R, s2, 128) i32 (color, chunk, ...)
+    rank_ref,      # (1, 1, 9, R, s2, 128) i32
+    oy_ref,        # (1, 1, R, 1, 128) i32: cur * global block row per row
+    ox_ref,        # (1, 1, s2, 128) i32: cur * global block col per col
+    out_ref,       # (1, 2, R, s2, 128) i32 (chunk-major)
     acc_ref,       # scratch (9, R, s2, 128) i32
     *,
     side: int,
@@ -153,12 +155,12 @@ def _kernel_pm(
     full_h: int,
     full_w: int,
 ):
-    rr, s2, nt = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
-    cands = cands_ref[...]                     # (9, 2, R, s2, nt)
+    rr, s2, nt = out_ref.shape[2], out_ref.shape[3], out_ref.shape[4]
+    cands = cands_ref[0]                       # (9, 2, R, s2, nt)
     cx, cy = cands[:, 0], cands[:, 1]          # (9, R, s2, nt)
-    pm = pm_ref[...]                           # (2, nt)
-    present = present_ref[0]                   # (9, R, s2, nt)
-    rank = rank_ref[0]
+    pm = pm_ref[0]                             # (2, nt)
+    present = present_ref[0, 0]                # (9, R, s2, nt)
+    rank = rank_ref[0, 0]
     lam = lam_ref[0, 0]
 
     ddx = cx - pm[0][None, None, None]
@@ -194,12 +196,14 @@ def _kernel_pm(
     jax.lax.fori_loop(ymin, ymax + 1, pick_row, 0)
     costs = acc_ref[...]
 
-    tx = ox_ref[0][None, None] + cx            # (9, R, s2, nt)
-    ty = oy_ref[0][None] + cy                  # (1,R,1,nt)+(9,R,s2,nt)
+    tx = ox_ref[0, 0][None, None] + cx         # (9, R, s2, nt)
+    ty = oy_ref[0, 0][None] + cy               # (1,R,1,nt)+(9,R,s2,nt)
     in_img = (
         (tx >= 0) & (tx <= full_w - cur) & (ty >= 0) & (ty <= full_h - cur)
     )
-    _finish_step(cx, cy, costs, present, rank, lam, in_window, in_img, out_ref)
+    nx, ny = _finish_step(cx, cy, costs, present, rank, lam, in_window, in_img)
+    out_ref[0, 0] = nx
+    out_ref[0, 1] = ny
 
 
 @functools.partial(
@@ -210,12 +214,12 @@ def windowed_color_step_pm(
     scalars: jnp.ndarray,         # (4,) i32 [color, ci, cj, row0_b]
     lam_mult: jnp.ndarray,        # f32 scalar
     cv_pm: jnp.ndarray,           # (f//2, 2, 2, nPp//128, side, side, s2, 128)
-    cands_pm: jnp.ndarray,        # (9, 2, s2, s2, nPp) i32
-    pm_lane: jnp.ndarray,         # (2, nPp) i32
-    present_pm: jnp.ndarray,      # (4, 9, s2, s2, nPp) i32
-    rank_pm: jnp.ndarray,         # (4, 9, s2, s2, nPp) i32
-    oy_cell: jnp.ndarray,         # (4, s2, 1, nPp) i32
-    ox_cell: jnp.ndarray,         # (4, s2, nPp) i32
+    cands_pm: jnp.ndarray,        # (nch, 9, 2, s2, s2, 128) i32
+    pm_lane: jnp.ndarray,         # (nch, 2, 128) i32
+    present_pm: jnp.ndarray,      # (4, nch, 9, s2, s2, 128) i32
+    rank_pm: jnp.ndarray,         # (4, nch, 9, s2, s2, 128) i32
+    oy_cell: jnp.ndarray,         # (4, nch, s2, 1, 128) i32
+    ox_cell: jnp.ndarray,         # (4, nch, s2, 128) i32
     side: int,
     r: int,
     cur: int,
@@ -223,16 +227,18 @@ def windowed_color_step_pm(
     full_w: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(2, s2, s2, nPp) i32 winner MVs, parent-major cell layout.
+    """(nch, 2, s2, s2, 128) i32 winner MVs, chunk-major cell layout.
 
-    All big arrays stay in the pooled-CV kernel's native CHUNK-MAJOR layout
-    (cells of one parent on the minor parent-lane axis, the parent-chunk
-    dim ahead of the delta dims so a tile's CV block is one contiguous HBM
-    run); the color's CV cells are chosen entirely in the index_map (sy-row
+    EVERY operand (not just the CV) is CHUNK-MAJOR: the parent-chunk dim
+    leads, so a tile's block of each operand is one contiguous HBM run.
+    Lane-minor (..., nPp) layouts sliced at 128*i made every block a
+    spray of 512-byte strided transfers - thousands of DMA descriptors
+    per tile that dominated the whole color step (~150 us/tile of pure
+    descriptor overhead at the L0 bench shape, vs ~10 us of compute).
+    The color's CV cells are chosen entirely in the index_map (sy-row
     parity plane ci, X plane cj), so no XLA-side color slicing of the CV
     exists at all.  Tiles take R consecutive sy rows at once - the fixed
-    per-tile cost (~5 us: grid bookkeeping, DMA setup, bbox scalar prologue)
-    dominated single-row tiles at the finer rounds.
+    per-tile cost dominated single-row tiles at the finer rounds.
     """
     s2, npp = cv_pm.shape[6], cv_pm.shape[3] * 128
     syq = cv_pm.shape[0]
@@ -251,24 +257,25 @@ def windowed_color_step_pm(
             pl.BlockSpec((rows, 1, 1, 1, side, side, s2, 128),
                          lambda j, i, sc: (j, sc[1], sc[2], i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, 2, rows, s2, 128),
-                         lambda j, i, sc: (0, 0, j, 0, i),
+            pl.BlockSpec((1, 9, 2, rows, s2, 128),
+                         lambda j, i, sc: (i, 0, 0, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda j, i, sc: (0, i),
+            pl.BlockSpec((1, 2, 128), lambda j, i, sc: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, rows, s2, 128),
-                         lambda j, i, sc: (sc[0], 0, j, 0, i),
+            pl.BlockSpec((1, 1, 9, rows, s2, 128),
+                         lambda j, i, sc: (sc[0], i, 0, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, rows, s2, 128),
-                         lambda j, i, sc: (sc[0], 0, j, 0, i),
+            pl.BlockSpec((1, 1, 9, rows, s2, 128),
+                         lambda j, i, sc: (sc[0], i, 0, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, 1, 128), lambda j, i, sc: (sc[0], j, 0, i),
+            pl.BlockSpec((1, 1, rows, 1, 128),
+                         lambda j, i, sc: (sc[0], i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s2, 128), lambda j, i, sc: (sc[0], 0, i),
+            pl.BlockSpec((1, 1, s2, 128), lambda j, i, sc: (sc[0], i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (2, rows, s2, 128), lambda j, i, sc: (0, j, 0, i),
+            (1, 2, rows, s2, 128), lambda j, i, sc: (i, 0, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((9, rows, s2, 128), jnp.int32)],
@@ -278,7 +285,7 @@ def windowed_color_step_pm(
             _kernel_pm, side=side, r=r, cur=cur, full_h=full_h, full_w=full_w
         ),
         grid_spec=gs,
-        out_shape=jax.ShapeDtypeStruct((2, s2, s2, npp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((npp // 128, 2, s2, s2, 128), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
@@ -374,13 +381,13 @@ def _kernel_pm_compact(
                    # 2-D+ SMEM prefetch pads trailing dims to 128 lanes)
     lam_ref,       # (1, 1) f32 SMEM
     cv_ref,        # (rows, 1, 1, 1, K, s2, 128): color's compact table tile
-    cands_ref,     # (9, 2, rows, s2, 128) i32
-    pm_ref,        # (2, 128) i32 window-center MVs
-    present_ref,   # (1, 9, rows, s2, 128) i32
-    rank_ref,      # (1, 9, rows, s2, 128) i32
-    oy_ref,        # (1, rows, 1, 128) i32
-    ox_ref,        # (1, s2, 128) i32
-    out_ref,       # (2, rows, s2, 128) i32
+    cands_ref,     # (1, 9, 2, rows, s2, 128) i32 (chunk-major)
+    pm_ref,        # (1, 2, 128) i32 window-center MVs
+    present_ref,   # (1, 1, 9, rows, s2, 128) i32
+    rank_ref,      # (1, 1, 9, rows, s2, 128) i32
+    oy_ref,        # (1, 1, rows, 1, 128) i32
+    ox_ref,        # (1, 1, s2, 128) i32
+    out_ref,       # (1, 2, rows, s2, 128) i32
     *,
     k_slots: int,
     r: int,
@@ -389,11 +396,11 @@ def _kernel_pm_compact(
     full_w: int,
 ):
     ch = pl.program_id(1)
-    cands = cands_ref[...]
+    cands = cands_ref[0]
     cx, cy = cands[:, 0], cands[:, 1]
-    pm = pm_ref[...]
-    present = present_ref[0]
-    rank = rank_ref[0]
+    pm = pm_ref[0]
+    present = present_ref[0, 0]
+    rank = rank_ref[0, 0]
     lam = lam_ref[0, 0]
 
     kdy = cy - pm[1][None, None, None] + r  # CV-index coords
@@ -412,8 +419,8 @@ def _kernel_pm_compact(
         costs = jnp.where(match, v[None], costs)
         covered = covered | match
 
-    tx = ox_ref[0][None, None] + cx
-    ty = oy_ref[0][None] + cy
+    tx = ox_ref[0, 0][None, None] + cx
+    ty = oy_ref[0, 0][None] + cy
     in_img = (
         (tx >= 0) & (tx <= full_w - cur) & (ty >= 0) & (ty <= full_h - cur)
     )
@@ -422,7 +429,9 @@ def _kernel_pm_compact(
     # update against an unevaluated incumbent - keep the incumbent instead
     # (all-invalid energies tie at FLT_MAX and rank 0 wins)
     covered = covered & covered[0][None]
-    _finish_step(cx, cy, costs, present, rank, lam, covered, in_img, out_ref)
+    nx, ny = _finish_step(cx, cy, costs, present, rank, lam, covered, in_img)
+    out_ref[0, 0] = nx
+    out_ref[0, 1] = ny
 
 
 @functools.partial(
@@ -435,12 +444,12 @@ def windowed_color_step_pm_compact(
                                   # before prefetch - see _kernel_pm_compact)
     lam_mult: jnp.ndarray,        # f32 scalar
     cv_pm: jnp.ndarray,           # (f//2, 2, 2, nch, K, s2, 128) compact table
-    cands_pm: jnp.ndarray,        # (9, 2, s2, s2, nPp) i32
-    pm_lane: jnp.ndarray,         # (2, nPp) i32
-    present_pm: jnp.ndarray,      # (4, 9, s2, s2, nPp) i32
-    rank_pm: jnp.ndarray,         # (4, 9, s2, s2, nPp) i32
-    oy_cell: jnp.ndarray,         # (4, s2, 1, nPp) i32
-    ox_cell: jnp.ndarray,         # (4, s2, nPp) i32
+    cands_pm: jnp.ndarray,        # (nch, 9, 2, s2, s2, 128) i32
+    pm_lane: jnp.ndarray,         # (nch, 2, 128) i32
+    present_pm: jnp.ndarray,      # (4, nch, 9, s2, s2, 128) i32
+    rank_pm: jnp.ndarray,         # (4, nch, 9, s2, s2, 128) i32
+    oy_cell: jnp.ndarray,         # (4, nch, s2, 1, 128) i32
+    ox_cell: jnp.ndarray,         # (4, nch, s2, 128) i32
     k_slots: int,
     r: int,
     cur: int,
@@ -466,25 +475,25 @@ def windowed_color_step_pm_compact(
             pl.BlockSpec((rows, 1, 1, 1, k_slots, s2, 128),
                          lambda j, i, sc, dv: (j, sc[1], sc[2], i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, 2, rows, s2, 128),
-                         lambda j, i, sc, dv: (0, 0, j, 0, i),
+            pl.BlockSpec((1, 9, 2, rows, s2, 128),
+                         lambda j, i, sc, dv: (i, 0, 0, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda j, i, sc, dv: (0, i),
+            pl.BlockSpec((1, 2, 128), lambda j, i, sc, dv: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, rows, s2, 128),
-                         lambda j, i, sc, dv: (sc[0], 0, j, 0, i),
+            pl.BlockSpec((1, 1, 9, rows, s2, 128),
+                         lambda j, i, sc, dv: (sc[0], i, 0, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, rows, s2, 128),
-                         lambda j, i, sc, dv: (sc[0], 0, j, 0, i),
+            pl.BlockSpec((1, 1, 9, rows, s2, 128),
+                         lambda j, i, sc, dv: (sc[0], i, 0, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, 1, 128),
-                         lambda j, i, sc, dv: (sc[0], j, 0, i),
+            pl.BlockSpec((1, 1, rows, 1, 128),
+                         lambda j, i, sc, dv: (sc[0], i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s2, 128), lambda j, i, sc, dv: (sc[0], 0, i),
+            pl.BlockSpec((1, 1, s2, 128), lambda j, i, sc, dv: (sc[0], i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (2, rows, s2, 128), lambda j, i, sc, dv: (0, j, 0, i),
+            (1, 2, rows, s2, 128), lambda j, i, sc, dv: (i, 0, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -494,7 +503,7 @@ def windowed_color_step_pm_compact(
             full_h=full_h, full_w=full_w,
         ),
         grid_spec=gs,
-        out_shape=jax.ShapeDtypeStruct((2, s2, s2, npp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((npp // 128, 2, s2, s2, 128), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
@@ -575,10 +584,11 @@ def _kernel_rival(
     in_img = (
         (tx >= 0) & (tx <= full_w - cur) & (ty >= 0) & (ty <= full_h - cur)
     )
-    _finish_step(
-        cx, cy, costs, present, rank, lam, in_window | in_rival, in_img,
-        out_ref,
+    nx, ny = _finish_step(
+        cx, cy, costs, present, rank, lam, in_window | in_rival, in_img
     )
+    out_ref[0] = nx
+    out_ref[1] = ny
 
 
 def _kernel_pm_rival(
@@ -588,13 +598,13 @@ def _kernel_pm_rival(
     side: int, r: int, side2: int, r2: int, cur: int,
     full_h: int, full_w: int,
 ):
-    rr, s2, nt = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
-    cands = cands_ref[...]
+    rr, s2, nt = out_ref.shape[2], out_ref.shape[3], out_ref.shape[4]
+    cands = cands_ref[0]
     cx, cy = cands[:, 0], cands[:, 1]
-    pm = pm_ref[...]
-    rpm = rpm_ref[...]
-    present = present_ref[0]
-    rank = rank_ref[0]
+    pm = pm_ref[0]
+    rpm = rpm_ref[0]
+    present = present_ref[0, 0]
+    rank = rank_ref[0, 0]
     lam = lam_ref[0, 0]
 
     ddx = cx - pm[0][None, None, None]
@@ -649,15 +659,16 @@ def _kernel_pm_rival(
     jax.lax.fori_loop(rymin, rymax + 1, pick_row_r, 0)
     costs = acc_ref[...]
 
-    tx = ox_ref[0][None, None] + cx
-    ty = oy_ref[0][None] + cy
+    tx = ox_ref[0, 0][None, None] + cx
+    ty = oy_ref[0, 0][None] + cy
     in_img = (
         (tx >= 0) & (tx <= full_w - cur) & (ty >= 0) & (ty <= full_h - cur)
     )
-    _finish_step(
-        cx, cy, costs, present, rank, lam, in_window | in_rival, in_img,
-        out_ref,
+    nx, ny = _finish_step(
+        cx, cy, costs, present, rank, lam, in_window | in_rival, in_img
     )
+    out_ref[0, 0] = nx
+    out_ref[0, 1] = ny
 
 
 @functools.partial(
@@ -672,8 +683,8 @@ def windowed_color_step_pm_rival(
     cv_pm: jnp.ndarray,           # (f//2, 2, 2, nPp//128, side, side, s2, 128)
     rcv_pm: jnp.ndarray,          # (f//2, 2, 2, nPp//128, side2, side2, s2, 128)
     cands_pm: jnp.ndarray,
-    pm_lane: jnp.ndarray,         # (2, nPp) i32
-    rpm_lane: jnp.ndarray,        # (2, nPp) i32 rival centers
+    pm_lane: jnp.ndarray,         # (nch, 2, 128) i32
+    rpm_lane: jnp.ndarray,        # (nch, 2, 128) i32 rival centers
     present_pm: jnp.ndarray,
     rank_pm: jnp.ndarray,
     oy_cell: jnp.ndarray,
@@ -711,26 +722,27 @@ def windowed_color_step_pm_rival(
             pl.BlockSpec((rows, 1, 1, 1, side2, side2, s2, 128),
                          lambda j, i, sc: (j, sc[1], sc[2], i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, 2, rows, s2, 128),
-                         lambda j, i, sc: (0, 0, j, 0, i),
+            pl.BlockSpec((1, 9, 2, rows, s2, 128),
+                         lambda j, i, sc: (i, 0, 0, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda j, i, sc: (0, i),
+            pl.BlockSpec((1, 2, 128), lambda j, i, sc: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda j, i, sc: (0, i),
+            pl.BlockSpec((1, 2, 128), lambda j, i, sc: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, rows, s2, 128),
-                         lambda j, i, sc: (sc[0], 0, j, 0, i),
+            pl.BlockSpec((1, 1, 9, rows, s2, 128),
+                         lambda j, i, sc: (sc[0], i, 0, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, rows, s2, 128),
-                         lambda j, i, sc: (sc[0], 0, j, 0, i),
+            pl.BlockSpec((1, 1, 9, rows, s2, 128),
+                         lambda j, i, sc: (sc[0], i, 0, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, 1, 128), lambda j, i, sc: (sc[0], j, 0, i),
+            pl.BlockSpec((1, 1, rows, 1, 128),
+                         lambda j, i, sc: (sc[0], i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s2, 128), lambda j, i, sc: (sc[0], 0, i),
+            pl.BlockSpec((1, 1, s2, 128), lambda j, i, sc: (sc[0], i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (2, rows, s2, 128), lambda j, i, sc: (0, j, 0, i),
+            (1, 2, rows, s2, 128), lambda j, i, sc: (i, 0, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((9, rows, s2, 128), jnp.int32)],
@@ -741,7 +753,7 @@ def windowed_color_step_pm_rival(
             full_h=full_h, full_w=full_w,
         ),
         grid_spec=gs,
-        out_shape=jax.ShapeDtypeStruct((2, s2, s2, npp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((npp // 128, 2, s2, s2, 128), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),

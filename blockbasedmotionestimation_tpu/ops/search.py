@@ -65,6 +65,17 @@ def extract_blocks(image: jnp.ndarray, bs: int) -> jnp.ndarray:
 
 
 def _gather_windows_impl(im2p, by, bx, win: int):
+    if jax.default_backend() == "tpu" and win % 8 == 0:
+        # one strided 2-D DMA descriptor per window (kernels.gather) - the
+        # vmapped dynamic_slice below lowers to a serialized per-parent
+        # slice+update loop, ~60 ms/batch at the 1080p bench shape.  Tiny
+        # windows (win % 8 != 0: toy configs only) keep the slice loop.
+        from blockbasedmotionestimation_tpu.kernels.gather import (
+            gather_windows_dma,
+        )
+
+        return gather_windows_dma(im2p, by, bx, win)
+
     def one(y, x):
         return jax.lax.dynamic_slice(im2p, (y, x), (win, win))
 

@@ -41,6 +41,7 @@ behavior.  The adopted-MV invariant becomes: MV in (base +- R) U (rival +- R).
 
 from __future__ import annotations
 
+import os as _os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -262,6 +263,7 @@ def _pallas_round_pm(
     from blockbasedmotionestimation_tpu.kernels.fused_step import (
         windowed_color_step_pm_fused,
         windowed_color_step_pm_fused_rival,
+        windowed_color_step_pm_hybrid,
     )
     from blockbasedmotionestimation_tpu.kernels.reg_step import (
         windowed_color_step_pm,
@@ -281,6 +283,17 @@ def _pallas_round_pm(
     def padp(x, fill=0):
         pads = [(0, 0)] * (x.ndim - 1) + [(0, npp - n_p)]
         return jnp.pad(x, pads, constant_values=fill)
+
+    def chunk_major(x, pos):
+        """(..., npp) -> lane chunks moved to dim ``pos``: the color-step
+        kernels consume every operand chunk-major so a grid step's block is
+        ONE contiguous HBM run (lane-minor slices at 128*i are a spray of
+        512-byte strided transfers whose descriptor overhead dominated the
+        whole step kernel).  Minor dim stays 128, so XLA runs this
+        transpose near copy speed."""
+        nch = x.shape[-1] // 128
+        y = x.reshape(*x.shape[:-1], nch, 128)
+        return jnp.moveaxis(y, -2, pos)
 
     rank_table = jnp.asarray(reg._RANK_TABLE)
     cv_in = cvq  # chunk-major layout consumed as-is by the kernel index_map
@@ -314,14 +327,23 @@ def _pallas_round_pm(
         oy_cell.append(padp(oy[:, None]))  # (s2, 1, nP): singleton keeps the
         # block's last-two dims (1, 128)-legal for Mosaic
         ox_cell.append(padp(ox))
-    present_pm = jnp.stack(present_pm)
-    rank_pm = jnp.stack(rank_pm)
-    oy_cell = jnp.stack(oy_cell)
-    ox_cell = jnp.stack(ox_cell)
-    pm_lane = padp(parent_mv.transpose(2, 0, 1).reshape(2, n_p).astype(jnp.int32))
-    fused_rival = fused_in is not None and "rwslab" in fused_in
-    if rcvq is not None or fused_rival:
-        rpm_lane = padp(rbase.transpose(2, 0, 1).reshape(2, n_p).astype(jnp.int32))
+    present_pm = chunk_major(jnp.stack(present_pm), 1)
+    rank_pm = chunk_major(jnp.stack(rank_pm), 1)
+    oy_cell = chunk_major(jnp.stack(oy_cell), 1)
+    ox_cell = chunk_major(jnp.stack(ox_cell), 1)
+    pm_lane = chunk_major(
+        padp(parent_mv.transpose(2, 0, 1).reshape(2, n_p).astype(jnp.int32)), 0
+    )
+    # hybrid = dense main CV + slab-recomputed rival (no "wslab" entry);
+    # fused_rival = both windows recomputed from slabs
+    hybrid_rival = fused_in is not None and "wslab" not in fused_in
+    fused_rival = (
+        fused_in is not None and not hybrid_rival and "rwslab" in fused_in
+    )
+    if rcvq is not None or fused_rival or hybrid_rival:
+        rpm_lane = chunk_major(
+            padp(rbase.transpose(2, 0, 1).reshape(2, n_p).astype(jnp.int32)), 0
+        )
 
     lam_sweeps = jnp.asarray(
         [lam * (sweep + 1) for sweep in range(sweeps_per_round)],
@@ -380,7 +402,7 @@ def _pallas_round_pm(
                 [shift_x(ys_by_dy[dy], cj + dx) for dy, dx in reg.SLOTS],
                 axis=0,
             )  # (9, 2, s2, s2, nP)
-            cands = padp(cands)
+            cands = chunk_major(padp(cands), 0)
             sc = jnp.stack(
                 [
                     jnp.asarray(2 * ci + cj, jnp.int32),
@@ -390,7 +412,14 @@ def _pallas_round_pm(
                 ]
             )
             if fused_in is not None:
-                if fused_rival:
+                if hybrid_rival:
+                    new_mv = windowed_color_step_pm_hybrid(
+                        sc, lam_mult, cv_in, fused_in["patches_pl"],
+                        fused_in["rwslab"], cands, pm_lane, rpm_lane,
+                        present_pm, rank_pm, oy_cell, ox_cell, side, r, bs,
+                        r2, cur, fused_in["cost"], h, w, interpret=interp,
+                    )
+                elif fused_rival:
                     new_mv = windowed_color_step_pm_fused_rival(
                         sc, lam_mult, fused_in["patches_pl"],
                         fused_in["wslab"], fused_in["rwslab"], cands,
@@ -422,7 +451,8 @@ def _pallas_round_pm(
                     sc, lam_mult, cv_in, cands, pm_lane, present_pm, rank_pm,
                     oy_cell, ox_cell, side, r, cur, h, w, interpret=interp,
                 )
-            nm = new_mv[..., :n_p]  # (2, s2, s2, nP)
+            # chunk-major (nch, 2, s2, s2, 128) back to lane-minor cell grid
+            nm = jnp.moveaxis(new_mv, 0, -2).reshape(2, s2, s2, npp)[..., :n_p]
             grc = gc.reshape(2, s2, 2, s2, 2, n_p)
             grc = jax.lax.dynamic_update_slice(
                 grc, nm[:, :, None, :, None, :], (0, 0, ci, 0, cj, 0)
@@ -792,10 +822,14 @@ def _rounds_loop(
                 and f >= 2 and untiled
             )
             if use_fused:
-                # chunk-fused round: no cost volume exists for this cur -
-                # the color-step kernel recomputes candidate costs from the
-                # VMEM-resident window slabs (kernels.fused_step)
-                vol = None
+                # chunk-fused round: the color-step kernel recomputes
+                # candidate costs from the VMEM-resident window slabs
+                # (kernels.fused_step).  Hybrid-rival rounds (no "wslab")
+                # keep the dense MAIN volume and recompute only the rival
+                # candidates, so the main CV is still consumed here.
+                vol = (
+                    cvs_pallas.pop(cur) if "wslab" not in fused_in else None
+                )
                 rkw = dict(fused_in=fused_in)
                 if "rwslab" in fused_in:
                     rkw.update(rbase=rbase, r2=r2)
@@ -1214,6 +1248,43 @@ def windowed_level(
             fused_in["rwslab"] = prep_slabs(
                 patches_tt, rwindows_tt, bs, r2, r2
             )[1]
+        elif (
+            cvs_pallas is not None
+            and untiled
+            and bs % 8 == 0
+            and not use_compact
+            and not _os.environ.get("BBME_NO_HYBRID")
+        ):
+            # HYBRID rival (the production rival mode): main volumes stay
+            # dense, coarse rival volumes dense via the deep build, and the
+            # fine rounds recompute rival candidates against the
+            # VMEM-resident rival slab.  Kills the fine-grained rival
+            # volumes entirely - ~30% of CV build time and the HBM
+            # transient that blocked rival at B=8 (DESIGN.md section 3b).
+            from blockbasedmotionestimation_tpu.kernels.cv_diff import (
+                deep_pooled_cvs,
+            )
+            from blockbasedmotionestimation_tpu.kernels.fused_step import (
+                prep_slabs,
+            )
+
+            hyb_fuse = min(4, bs // 2)
+            rwside = rwindows.shape[3]
+            patches_tt = patches1.reshape(nblk, bs, bs).transpose(1, 2, 0)
+            rwindows_tt = (
+                rwindows.reshape(nblk, rwside, rwside).transpose(1, 2, 0)
+            )
+            rcvs_pallas = deep_pooled_cvs(
+                patches_tt, rwindows_tt, bs, r2, r2, hyb_fuse, cost,
+                interpret=(impl == "pallas_interpret"),
+            )
+            f_patches, f_rwslab = prep_slabs(
+                patches_tt, rwindows_tt, bs, r2, r2
+            )
+            fused_in = {
+                "patches_pl": f_patches, "rwslab": f_rwslab, "cost": cost,
+            }
+            fuse_eff = hyb_fuse
         elif cvs_pallas is not None:
             rcvs_pallas = _all_round_cvs_pallas(
                 patches1, rwindows, bs, r2, r2, cost,

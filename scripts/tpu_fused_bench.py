@@ -51,7 +51,9 @@ def run(name: str, cfg: MotionConfig, B: int) -> None:
 def main() -> None:
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     want = sys.argv[2:] or ["dense", "fused", "fused_rival8", "fused_rival"]
-    base_cfg = MotionConfig(interp_factor=1, regularizer="windowed")
+    base_cfg = MotionConfig(
+        interp_factor=1, regularizer="windowed", rival_window=False
+    )
     variants = {
         "dense": base_cfg,
         "fused": base_cfg.replace(cv_fused=4),
@@ -59,8 +61,14 @@ def main() -> None:
         "fused_rival8": base_cfg.replace(
             cv_fused=4, rival_window=True, rival_radius=8
         ),
-        "fused_rival": base_cfg.replace(cv_fused=4, rival_window=True),
+        "fused_rival": base_cfg.replace(
+            cv_fused=4, rival_window=True, rival_radius=None
+        ),
         "dense_rival8": base_cfg.replace(rival_window=True, rival_radius=8),
+        "dense_rival": base_cfg.replace(
+            rival_window=True, rival_radius=None
+        ),
+        "default": MotionConfig(interp_factor=1),  # the production default
     }
     for name in want:
         run(name, variants[name], B)

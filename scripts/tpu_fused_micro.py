@@ -75,27 +75,28 @@ def main():
     f = BS // cur
     s2 = f // 2
     npp = NP_TOT
-    pm = jnp.zeros((2, npp), jnp.int32)
+    nch = npp // 128
+    pm = jnp.zeros((nch, 2, 128), jnp.int32)
     cands = jnp.asarray(
-        rng.integers(-1, 2, (9, 2, s2, s2, npp), dtype=np.int32)
+        rng.integers(-1, 2, (nch, 9, 2, s2, s2, 128), dtype=np.int32)
     )
-    present = jnp.ones((4, 9, s2, s2, npp), jnp.int32)
+    present = jnp.ones((4, nch, 9, s2, s2, 128), jnp.int32)
     rank = jnp.asarray(
         np.broadcast_to(
-            np.arange(9, dtype=np.int32)[None, :, None, None, None],
-            (4, 9, s2, s2, npp),
+            np.arange(9, dtype=np.int32)[None, None, :, None, None, None],
+            (4, nch, 9, s2, s2, 128),
         ).copy()
     )
     oy = jnp.asarray(
         np.broadcast_to(
-            (np.arange(s2, dtype=np.int32) * cur * 2)[None, :, None, None],
-            (4, s2, 1, npp),
+            (np.arange(s2, dtype=np.int32) * cur * 2)[None, None, :, None, None],
+            (4, nch, s2, 1, 128),
         ).copy()
     )
     ox = jnp.asarray(
         np.broadcast_to(
-            (np.arange(s2, dtype=np.int32) * cur * 2)[None, :, None],
-            (4, s2, npp),
+            (np.arange(s2, dtype=np.int32) * cur * 2)[None, None, :, None],
+            (4, nch, s2, 128),
         ).copy()
     )
     sc = jnp.asarray([0, 0, 0, 0], jnp.int32)
@@ -104,17 +105,17 @@ def main():
     cur4 = 4
     s24 = (BS // cur4) // 2
     cands4 = jnp.asarray(
-        rng.integers(-1, 2, (9, 2, s24, s24, npp), dtype=np.int32)
+        rng.integers(-1, 2, (nch, 9, 2, s24, s24, 128), dtype=np.int32)
     )
-    present4 = jnp.ones((4, 9, s24, s24, npp), jnp.int32)
+    present4 = jnp.ones((4, nch, 9, s24, s24, 128), jnp.int32)
     rank4 = jnp.asarray(
         np.broadcast_to(
-            np.arange(9, dtype=np.int32)[None, :, None, None, None],
-            (4, 9, s24, s24, npp),
+            np.arange(9, dtype=np.int32)[None, None, :, None, None, None],
+            (4, nch, 9, s24, s24, 128),
         ).copy()
     )
-    oy4 = jnp.zeros((4, s24, 1, npp), jnp.int32)
-    ox4 = jnp.zeros((4, s24, npp), jnp.int32)
+    oy4 = jnp.zeros((4, nch, s24, 1, 128), jnp.int32)
+    ox4 = jnp.zeros((4, nch, s24, 128), jnp.int32)
 
     timeit(
         "dense pm color step (cur=2)", reg_step.windowed_color_step_pm,
@@ -136,7 +137,7 @@ def main():
     )
     # wider spread: deltas in [-4, 4]
     cands2 = jnp.asarray(
-        rng.integers(-4, 5, (9, 2, s2, s2, npp), dtype=np.int32)
+        rng.integers(-4, 5, (nch, 9, 2, s2, s2, 128), dtype=np.int32)
     )
     timeit(
         "fused color step (cur=2, d<=4)", fused_step.windowed_color_step_pm_fused,

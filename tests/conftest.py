@@ -23,6 +23,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the suite compiles hundreds of programs
+# (forced 8-device mesh, interpret-mode Pallas emulation); caching makes
+# repeat runs minutes faster and sidesteps in-process XLA:CPU compiler
+# flakiness on the largest interpret programs (see DESIGN.md section 8)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

@@ -32,11 +32,18 @@ def _pair(rng, h, w, dy=2, dx=-3, margin=16):
 
 
 def test_mv_bound_recursion():
-    cfg = MotionConfig()  # 4 levels, shift 32 -> extents 16
+    # gather-mode regularizers adopt only existing candidates: no R growth
+    cfg = MotionConfig(regularizer="fourcolor")  # 4 levels, extents 16
     assert tiled.mv_bound(cfg, 3) == 16
     assert tiled.mv_bound(cfg, 2) == 48
     assert tiled.mv_bound(cfg, 1) == 112
     assert tiled.mv_bound(cfg, 0) == 240
+    # the production default (windowed + rival) grows by R per coarser level
+    cfgw = MotionConfig()
+    assert tiled.mv_bound(cfgw, 3) == 16
+    assert tiled.mv_bound(cfgw, 2) == 80
+    assert tiled.mv_bound(cfgw, 1) == 208
+    assert tiled.mv_bound(cfgw, 0) == 464
 
 
 def test_mv_cap_shards_1080p_level0():
