@@ -43,7 +43,16 @@ def transfer_mvs(dense_coarse: jnp.ndarray, coarse_bs: int, fine_bs: int) -> jnp
     origin-grid cells the fine blocks read.
     """
     hc, wc = dense_coarse.shape[:2]
-    sampled = dense_coarse[::coarse_bs, ::coarse_bs] * jnp.float32(2.0)
+    if hc * wc > 4_000_000:
+        # reshape-then-index, NOT a double-strided slice: XLA:TPU
+        # miscompiles [::k, ::k] slices of LARGE 4-byte arrays into a
+        # device kernel fault (DESIGN.md section 8a).  Applied only above
+        # the measured envelope - below it the plain slice fuses better.
+        sampled = dense_coarse.reshape(
+            hc // coarse_bs, coarse_bs, wc // coarse_bs, coarse_bs, 2
+        )[:, 0, :, 0] * jnp.float32(2.0)
+    else:
+        sampled = dense_coarse[::coarse_bs, ::coarse_bs] * jnp.float32(2.0)
     nby_f = 2 * hc // fine_bs
     nbx_f = 2 * wc // fine_bs
     iy = (np.arange(nby_f) * fine_bs) // (2 * coarse_bs)

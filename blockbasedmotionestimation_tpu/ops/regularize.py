@@ -262,7 +262,9 @@ def _update_color_dynamic(
         sub = jax.lax.dynamic_slice(
             gp, (lci + dy + 1, lcj + dx + 1, 0), (nby, nbx, 2)
         )
-        cands.append(sub[::2, ::2])
+        # reshape+index, not [::2, ::2]: XLA:TPU miscompiles large
+        # double-strided 4-byte slices (DESIGN.md section 8a)
+        cands.append(sub.reshape(nby // 2, 2, nbx // 2, 2, 2)[:, 0, :, 0])
     cands = jnp.stack(cands, axis=2)  # (m, n, 9, 2)
 
     kk = jnp.arange(m, dtype=jnp.int32)[:, None]

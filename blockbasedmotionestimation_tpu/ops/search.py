@@ -65,7 +65,13 @@ def extract_blocks(image: jnp.ndarray, bs: int) -> jnp.ndarray:
 
 
 def _gather_windows_impl(im2p, by, bx, win: int):
-    if jax.default_backend() == "tpu" and win % 8 == 0:
+    import os as _os
+
+    if (
+        jax.default_backend() == "tpu"
+        and win % 8 == 0
+        and not _os.environ.get("BBME_NO_DMA_GATHER")
+    ):
         # one strided 2-D DMA descriptor per window (kernels.gather) - the
         # vmapped dynamic_slice below lowers to a serialized per-parent
         # slice+update loop, ~60 ms/batch at the 1080p bench shape.  Tiny

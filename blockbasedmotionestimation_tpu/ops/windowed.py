@@ -533,7 +533,15 @@ def _pallas_round(
     rank_table = jnp.asarray(reg._RANK_TABLE)
 
     def cv_to_colors(vol, sd):
-        """Chunk-major pooled CV -> (4, sd^2, m2p, n2p) color slabs."""
+        """Chunk-major pooled CV -> (4, sd^2, m2p, n2p) color slabs.
+
+        Color planes are taken by reshape-then-index, NOT double-strided
+        slices: XLA:TPU miscompiles a [:, i::2, j::2] slice of a large
+        int32 array into a device kernel fault (reproduced standalone on
+        a bare (1089, 136, 184) i32 slice - the >=4K-frame f==1 round's
+        search volume; u16, single-stride, and this reshape/index form
+        all lower correctly.  See DESIGN.md section 8a).
+        """
         if f >= 2:
             # pooled CVs arrive parity-de-interleaved and chunk-major
             # (f//2, 2, 2, nch, sd, sd, f//2, 128); restore the plain
@@ -543,20 +551,32 @@ def _pallas_round(
                 vol.transpose(4, 5, 0, 1, 6, 2, 3, 7)
                 .reshape(sd, sd, f, f, n_pad)[..., : npy * npx]
             )
-            vol = vol.reshape(sd * sd, f, f, npy, npx)
+            if vol.size > 4_000_000:
+                volr = vol.reshape(sd * sd, f // 2, 2, f // 2, 2, npy, npx)
+                planes = [
+                    volr[:, :, ci_, :, cj_] for ci_, cj_ in _COLORS
+                ]
+            else:
+                volr = vol.reshape(sd * sd, f, f, npy, npx)
+                planes = [
+                    volr[:, ci_::2, cj_::2] for ci_, cj_ in _COLORS
+                ]
             out = [
-                pad2(
-                    vol[:, ci_::2, cj_::2]
-                    .transpose(0, 3, 1, 4, 2)
-                    .reshape(sd * sd, m2, n2)
-                )
-                for ci_, cj_ in _COLORS
+                pad2(p.transpose(0, 3, 1, 4, 2).reshape(sd * sd, m2, n2))
+                for p in planes
             ]
         else:
             base = vol.reshape(sd * sd, -1)[:, : npy * npx]
             base = base.reshape(sd * sd, npy, npx)
             base = jnp.pad(base, ((0, 0), (0, pad_r), (0, pad_c)))
-            out = [pad2(base[:, ci_::2, cj_::2]) for ci_, cj_ in _COLORS]
+            if base.size > 4_000_000:
+                nyp, nxp = npy + pad_r, npx + pad_c
+                br = base.reshape(sd * sd, nyp // 2, 2, nxp // 2, 2)
+                out = [pad2(br[:, :, ci_, :, cj_]) for ci_, cj_ in _COLORS]
+            else:
+                out = [
+                    pad2(base[:, ci_::2, cj_::2]) for ci_, cj_ in _COLORS
+                ]
         return jnp.stack(out)
 
     def mv_to_colors(mv):
@@ -621,7 +641,10 @@ def _pallas_round(
                 sub = jax.lax.dynamic_slice(
                     gp, (lci + dy + 1, lcj + dx + 1, 0), (nby2, nbx2, 2)
                 )
-                cands.append(sub[::2, ::2])
+                # reshape+index, not [::2, ::2] (DESIGN.md section 8a)
+                cands.append(
+                    sub.reshape(nby2 // 2, 2, nbx2 // 2, 2, 2)[:, 0, :, 0]
+                )
             cands = jnp.stack(cands, axis=0).astype(jnp.int32)  # (9, m2, n2, 2)
             cands = pad2(cands.transpose(0, 3, 1, 2))           # (9, 2, m2p, n2p)
             sc = jnp.stack(
@@ -922,7 +945,10 @@ def _rounds_loop(
                 sub = jax.lax.dynamic_slice(
                     gp, (lci + dy + 1, lcj + dx + 1, 0), (nby2, nbx2, 2)
                 )
-                cands.append(sub[::2, ::2])
+                # reshape+index, not [::2, ::2] (DESIGN.md section 8a)
+                cands.append(
+                    sub.reshape(nby2 // 2, 2, nbx2 // 2, 2, 2)[:, 0, :, 0]
+                )
             cands = jnp.stack(cands, axis=2)  # (m2, n2, 9, 2)
 
             kk = jnp.arange(m2, dtype=jnp.int32)[:, None]

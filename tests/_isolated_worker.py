@@ -1,0 +1,99 @@
+"""Subprocess worker for heap-isolated heavy interpret-mode parity checks.
+
+The chunk-fused parity scenarios compile the suite's largest interpret-mode
+Pallas programs.  XLA:CPU's compiler/executable-serialization intermittently
+segfaults or aborts on programs this size LATE in a long test process (the
+same scenarios pass reliably in a fresh process; crash sites are inside
+``backend_compile_and_load`` / ``put_executable_and_time``, i.e. not in
+this package's code).  Running them in a clean subprocess removes the
+in-process history the crash depends on.
+
+Run: _isolated_worker.py <scenario>   (exit 0 = parity held)
+"""
+
+import os
+import sys
+
+
+def main() -> int:
+    scenario = sys.argv[1]
+
+    # virtual CPU devices must be provisioned in-process, before backend
+    # init (see tests/conftest.py for why the env-var recipe does not work)
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir", "/root/.cache/jax_comp_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+
+    from blockbasedmotionestimation_tpu.config import MotionConfig
+    from blockbasedmotionestimation_tpu.models import engine
+    from blockbasedmotionestimation_tpu.utils import flowio, synth
+
+    rng = np.random.default_rng(1234)
+
+    if scenario == "chunk_fused_cv":
+        cfg_dense = MotionConfig(
+            block_sizes=(8, 16), search_sizes=(24, 32), interp_factor=1,
+            regularizer="windowed", search_impl="pallas_interpret",
+        )
+        cfg_fused = cfg_dense.replace(cv_fused=4)
+        base = synth.textured_image(140, 160, rng)
+        im1 = base[:96, :128]
+        im2 = base[5:101, 3:131]
+    elif scenario == "chunk_fused_rival":
+        cfg_dense = MotionConfig(
+            block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
+            regularizer="windowed", search_impl="pallas_interpret",
+            rival_window=True, rival_radius=4,
+        )
+        cfg_fused = cfg_dense.replace(cv_fused=4)
+        gt = flowio.read_flo(
+            "/root/reference/middlebury/gt-flow/Dimetrodon/flow10.flo"
+        )[:64, :96]
+        im1, im2 = synth.pair_from_gt(gt, rng)
+    elif scenario in ("rival_pallas", "rival_pallas_r8"):
+        cfg_dense = MotionConfig(
+            block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
+            regularizer="windowed", rival_window=True, search_impl="xla",
+            rival_radius=8 if scenario.endswith("r8") else None,
+        )
+        cfg_fused = cfg_dense.replace(search_impl="pallas_interpret")
+        h, w, dx = 96, 128, 20
+        base = synth.textured_image(h + 64, w + 64, rng)
+        im1 = base[32 : 32 + h, 32 : 32 + w]
+        im2 = base[32 : 32 + h, 32 - dx : 32 - dx + w]
+    elif scenario == "fused_pallas":
+        cfg_dense = MotionConfig(
+            block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
+            regularizer="windowed", search_impl="xla",
+        )
+        cfg_fused = cfg_dense.replace(search_impl="pallas_interpret")
+        assert cfg_dense.uses_fused_windowed
+        h, w = 64, 64
+        base = synth.textured_image(h + 2 * 16, w + 2 * 16, rng)
+        im1 = base[16 : 16 + h, 16 : 16 + w]
+        im2 = base[16 + 2 : 16 + 2 + h, 16 + 1 : 16 + 1 + w]
+    else:
+        print(f"unknown scenario {scenario}", file=sys.stderr)
+        return 2
+
+    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_dense))
+    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_fused))
+    np.testing.assert_array_equal(a, b)
+    print(f"{scenario}: parity ok")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -244,29 +244,17 @@ def test_rival_equals_windowed_when_no_exclusions(rng):
     assert (a == b).all(axis=-1).mean() > 0.9
 
 
-def test_rival_pallas_matches_xla(rng):
+def test_rival_pallas_matches_xla():
     # the rival-mode Pallas color-step kernels must be bit-identical to the
     # XLA rival path, on a scene with real exclusions (the discontinuity
-    # strip from test_rival_window_recovers_far_candidates)
-    cfgx = MotionConfig(
-        block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
-        regularizer="windowed", rival_window=True, search_impl="xla",
-    )
-    cfgp = cfgx.replace(search_impl="pallas_interpret")
-    h, w, dx = 96, 128, 20
-    base = synth.textured_image(h + 64, w + 64, rng)
-    im1 = base[32 : 32 + h, 32 : 32 + w]
-    im2 = base[32 : 32 + h, 32 - dx : 32 - dx + w]
-    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfgx))
-    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfgp))
-    np.testing.assert_array_equal(a, b)
+    # strip from test_rival_window_recovers_far_candidates).  Subprocess-
+    # isolated: see _run_isolated.
+    _run_isolated("rival_pallas")
+
+
+def test_rival_pallas_matches_xla_radius8():
     # reduced rival radius: still pallas == xla, and still repairs the strip
-    cfgx8 = cfgx.replace(rival_radius=8)
-    a8 = np.asarray(engine.estimate_flow_driver(im1, im2, cfgx8))
-    b8 = np.asarray(
-        engine.estimate_flow_driver(im1, im2, cfgx8.replace(search_impl="pallas_interpret"))
-    )
-    np.testing.assert_array_equal(a8, b8)
+    _run_isolated("rival_pallas_r8")
 
 
 def test_rival_tiled_pallas_equals_untiled(rng):
@@ -320,41 +308,47 @@ def test_fused_pallas_matches_xla(rng):
     np.testing.assert_array_equal(a, b)
 
 
-def test_chunk_fused_cv_equals_dense(rng):
+def _run_isolated(scenario: str) -> None:
+    # the chunk-fused parity scenarios compile the suite's largest
+    # interpret-mode programs; XLA:CPU intermittently segfaults/aborts on
+    # them LATE in a long test process (crash sites inside
+    # backend_compile_and_load / executable serialization - reproduced at
+    # repo states that predate the fused kernels entirely).  A fresh
+    # subprocess removes the in-process history the crash depends on; the
+    # parity checks themselves live in tests/_isolated_worker.py.
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_isolated_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker provisions its own virtual mesh
+    env["PYTHONPATH"] = repo + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    proc = subprocess.run(
+        [sys.executable, worker, scenario],
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, (
+        f"{scenario} worker failed (rc {proc.returncode}):\n"
+        f"{proc.stdout}\n{proc.stderr}"
+    )
+
+
+def test_chunk_fused_cv_equals_dense():
     # chunk-fused fine rounds (kernels.fused_step): candidate costs
     # recomputed from VMEM-resident window slabs must be bit-identical to
     # the dense cost-volume path - non-trivial flow (warped texture) so the
     # delta bounding boxes are exercised beyond the uniform case
-    cfg_dense = MotionConfig(
-        block_sizes=(8, 16), search_sizes=(24, 32), interp_factor=1,
-        regularizer="windowed", search_impl="pallas_interpret",
-    )
-    cfg_fused = cfg_dense.replace(cv_fused=4)
-    base = synth.textured_image(140, 160, rng)
-    im1 = base[:96, :128]
-    im2 = base[5:101, 3:131]
-    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_dense))
-    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_fused))
-    np.testing.assert_array_equal(a, b)
+    _run_isolated("chunk_fused_cv")
 
 
 @pytest.mark.skipif(
     not os.path.isdir("/root/reference/middlebury/gt-flow"),
     reason="reference gt-flow not mounted",
 )
-def test_chunk_fused_rival_equals_dense(rng):
+def test_chunk_fused_rival_equals_dense():
     # fused + rival composition: the rival slab recompute must match the
     # dense rival cost volumes bit for bit, on real flow geometry
-    cfg_dense = MotionConfig(
-        block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
-        regularizer="windowed", search_impl="pallas_interpret",
-        rival_window=True, rival_radius=4,
-    )
-    cfg_fused = cfg_dense.replace(cv_fused=4)
-    gt = flowio.read_flo(
-        "/root/reference/middlebury/gt-flow/Dimetrodon/flow10.flo"
-    )[:64, :96]
-    im1, im2 = synth.pair_from_gt(gt, rng)
-    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_dense))
-    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_fused))
-    np.testing.assert_array_equal(a, b)
+    _run_isolated("chunk_fused_rival")
