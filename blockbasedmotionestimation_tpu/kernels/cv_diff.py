@@ -180,7 +180,13 @@ def _diff_kernel_static(patches_ref, wplanes_ref, *out_refs, bs, ext,
     q4 = bs // 4
     s2 = bs // 2
     cb = patches_ref.shape[-1]
-    bp = [patches_ref[p].astype(jnp.int32) for p in range(4)]
+    # int16 arithmetic would halve the VPU op count (i16 vregs pack 2x)
+    # and every SAD intermediate fits (<= 4080 at the cur=4 pool), but this
+    # Mosaic only legalizes add/sub on packed i16 - abs, max, shifts and
+    # selects all fail to lower - so the diff pass stays int32 (measured
+    # negative, r3).
+    wt = jnp.int32
+    bp = [patches_ref[p].astype(wt) for p in range(4)]
     wq = [wplanes_ref[c, pl.ds(ext - r + dy, bs), :, :] for c in range(4)]
 
     if emit_o2:
@@ -196,7 +202,7 @@ def _diff_kernel_static(patches_ref, wplanes_ref, *out_refs, bs, ext,
             for p in (2 * bx, 2 * bx + 1):
                 c = (p + dx) % 4
                 off = (p + dx) // 4
-                d = bp[p] - wq[c][:, off : off + q4, :].astype(jnp.int32)
+                d = bp[p] - wq[c][:, off : off + q4, :].astype(wt)
                 d = jnp.abs(d) if cost == "sad" else d * d
                 acc = d if acc is None else acc + d
             halves.append(acc.reshape(s2, 2, q4, cb).sum(axis=1))
@@ -353,7 +359,13 @@ def _diff_kernel_deep(patches_ref, wplanes_ref, *out_refs, bs, ext, r, cost,
     q4 = bs // 4
     s2 = bs // 2
     cb = patches_ref.shape[-1]
-    bp = [patches_ref[p].astype(jnp.int32) for p in range(4)]
+    # int16 arithmetic would halve the VPU op count (i16 vregs pack 2x)
+    # and every SAD intermediate fits (<= 4080 at the cur=4 pool), but this
+    # Mosaic only legalizes add/sub on packed i16 - abs, max, shifts and
+    # selects all fail to lower - so the diff pass stays int32 (measured
+    # negative, r3).
+    wt = jnp.int32
+    bp = [patches_ref[p].astype(wt) for p in range(4)]
     wq = [wplanes_ref[c, pl.ds(ext - r + dy, bs), :, :] for c in range(4)]
 
     for dx in range(side):
@@ -363,11 +375,12 @@ def _diff_kernel_deep(patches_ref, wplanes_ref, *out_refs, bs, ext, r, cost,
             for p in (2 * bx, 2 * bx + 1):
                 c = (p + dx) % 4
                 off = (p + dx) // 4
-                d = bp[p] - wq[c][:, off : off + q4, :].astype(jnp.int32)
+                d = bp[p] - wq[c][:, off : off + q4, :].astype(wt)
                 d = jnp.abs(d) if cost == "sad" else d * d
                 acc = d if acc is None else acc + d
             halves.append(acc.reshape(s2, 2, q4, cb).sum(axis=1))
-        # cur=4 map; deeper sizes pool on the shrinking cell grid
+        # cur=4 map; deeper sizes pool on the shrinking cell grid (int32:
+        # cur=16 sums exceed int16)
         pool = (halves[0] + halves[1]).reshape(q4, 2, q4, cb).sum(axis=1)
         cur, s, k = 4, q4, 0
         while cur <= bs:
