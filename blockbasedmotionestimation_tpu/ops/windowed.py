@@ -1294,7 +1294,10 @@ def windowed_level(
                 prep_slabs,
             )
 
-            hyb_fuse = min(4, bs // 2)
+            # every sub-block round (cur < bs) runs hybrid: dense main CV +
+            # slab-recomputed rival, so the ONLY dense rival volume left is
+            # the f=1 round's search-size one
+            hyb_fuse = min(16, bs // 2)
             rwside = rwindows.shape[3]
             patches_tt = patches1.reshape(nblk, bs, bs).transpose(1, 2, 0)
             rwindows_tt = (

@@ -29,17 +29,20 @@ else:
 # per-candidate gathers (it crashed a TPU worker once) - its full-config
 # column comes from the CPU runner (run_fourcolor_full_cpu.py); quick mode
 # compares everything directly.
+# rival_window/rival_radius default ON since r3: pin every column explicitly
+w_cols = [
+    ("windowed", base.replace(
+        regularizer="windowed", rival_window=False, rival_radius=None)),
+    ("rival_r8 (default)", base.replace(
+        regularizer="windowed", rival_window=True, rival_radius=8)),
+    ("rival_full", base.replace(
+        regularizer="windowed", rival_window=True, rival_radius=None)),
+]
 if mode == "full":
-    variants = [
-        ("windowed", base.replace(regularizer="windowed")),
-        ("rival", base.replace(regularizer="windowed", rival_window=True)),
-    ]
+    variants = w_cols
 else:
-    variants = [
-        ("windowed", base.replace(regularizer="windowed")),
-        ("rival", base.replace(regularizer="windowed", rival_window=True)),
-        ("fourcolor", base.replace(regularizer="fourcolor")),
-    ]
+    variants = w_cols + [("fourcolor", base.replace(
+        regularizer="fourcolor", rival_window=False, rival_radius=None))]
 rows = []
 for reg, cfg in variants:
     t0 = time.time()

@@ -84,6 +84,17 @@ def main() -> int:
         base = synth.textured_image(h + 2 * 16, w + 2 * 16, rng)
         im1 = base[16 : 16 + h, 16 : 16 + w]
         im2 = base[16 + 2 : 16 + 2 + h, 16 + 1 : 16 + 1 + w]
+    elif scenario == "rival_pallas_bs16":
+        # bs=16 -> the hybrid rival covers the cur=8 middle round too
+        cfg_dense = MotionConfig(
+            block_sizes=(16,), search_sizes=(48,), interp_factor=1,
+            regularizer="windowed", rival_window=True, rival_radius=8,
+            search_impl="xla",
+        )
+        cfg_fused = cfg_dense.replace(search_impl="pallas_interpret")
+        base = synth.textured_image(128, 160, rng)
+        im1 = base[:96, :128]
+        im2 = base[4:100, 3:131]
     else:
         print(f"unknown scenario {scenario}", file=sys.stderr)
         return 2

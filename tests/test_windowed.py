@@ -257,6 +257,12 @@ def test_rival_pallas_matches_xla_radius8():
     _run_isolated("rival_pallas_r8")
 
 
+def test_rival_hybrid_middle_round_matches_xla():
+    # bs=16 puts a cur=8 round through the hybrid rival kernel (dense main
+    # CV + slab-recomputed rival at a deeper pooling level)
+    _run_isolated("rival_pallas_bs16")
+
+
 def test_rival_tiled_pallas_equals_untiled(rng):
     import jax
     from jax.sharding import Mesh
