@@ -40,10 +40,11 @@ def main() -> None:
     quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
     if quick:
         seqs = ("Dimetrodon", "Urban2", "Grove3")
+        # rival defaults ON since r3: pin per column
         configs = {
             "windowed": MotionConfig(
                 block_sizes=(16, 16), search_sizes=(32, 32), interp_factor=1,
-                regularizer="windowed",
+                regularizer="windowed", rival_window=False, rival_radius=None,
             ),
         }
         configs["rival_r8"] = configs["windowed"].replace(
@@ -54,7 +55,10 @@ def main() -> None:
         )
     else:
         seqs = evaluate.SEQUENCES
-        base = MotionConfig(interp_factor=4, regularizer="windowed")
+        base = MotionConfig(
+            interp_factor=4, regularizer="windowed",
+            rival_window=False, rival_radius=None,
+        )
         configs = {
             "windowed": base,
             "rival_r8": base.replace(rival_window=True, rival_radius=8),
