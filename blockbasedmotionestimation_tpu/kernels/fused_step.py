@@ -48,6 +48,20 @@ _ABLATE = _os.environ.get("BBME_FUSED_ABLATE", "")
 _SKIP_BBOX = _os.environ.get("BBME_FUSED_NOLOOP") == "1" or _ABLATE in (
     "nofinish", "bare"
 )
+if _SKIP_BBOX:  # a stray env var must never silently corrupt results
+    import warnings as _warnings
+
+    _warnings.warn(
+        "BBME_FUSED_NOLOOP/BBME_FUSED_ABLATE is set: fused color-step "
+        "kernels will SKIP their cost loops and return WRONG flow.  These "
+        "ablations exist only for perf diagnosis (DESIGN.md section 7c).",
+        stacklevel=2,
+    )
+    print(
+        "[bbme] WARNING: fused-step ablation env var active - results are "
+        "intentionally WRONG (perf diagnosis only)",
+        flush=True,
+    )
 
 
 def prep_slabs(

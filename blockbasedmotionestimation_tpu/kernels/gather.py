@@ -54,14 +54,21 @@ def _dma_kernel(s_ref, yb_ref, xc_ref, imsh_ref, out_ref, sems, *, wb, wq):
         d.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("win",))
+@functools.partial(jax.jit, static_argnames=("win", "interpret"))
 def gather_windows_dma(
     im2p: jnp.ndarray,  # (Hf, Wf) padded (stacked) frame buffer
     by: jnp.ndarray,    # (nblk,) i32 window top row in im2p coords
     bx: jnp.ndarray,    # (nblk,) i32 window left col in im2p coords
     win: int,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """(nblk, win, win) windows; im2p[by[k] : by[k]+win, bx[k] : bx[k]+win]."""
+    """(nblk, win, win) windows; im2p[by[k] : by[k]+win, bx[k] : bx[k]+win].
+
+    ``interpret=True`` runs the DMA kernel in Pallas interpret mode so the
+    index math (row-shift copy select, 8-block rows, 128-superwindow cols,
+    MXU one-hot extract) is testable on CPU without a chip
+    (``tests/test_pallas_search.py::test_gather_windows_dma_interpret``).
+    """
     assert win % 8 == 0, win
     hf, wf = im2p.shape
     wb = win // 8                      # 8-row blocks per window
@@ -95,6 +102,7 @@ def gather_windows_dma(
         functools.partial(_dma_kernel, wb=wb, wq=wq),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((n, wb, wq, 8, 128), im2p.dtype),
+        interpret=interpret,
     )(
         (by & 7).astype(jnp.int32),
         (by >> 3).astype(jnp.int32),

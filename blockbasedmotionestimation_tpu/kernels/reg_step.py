@@ -301,7 +301,7 @@ def windowed_color_step_pm(
     ),
 )
 def windowed_color_step(
-    scalars: jnp.ndarray,         # (4,) i32 [color, ci, cj, row0_b]
+    scalars: jnp.ndarray,         # (5,) i32 [color, lci, lcj, row0_b, col0_b]
     lam_mult: jnp.ndarray,        # f32 scalar
     cv_colors: jnp.ndarray,       # (4, side^2, M2, N2) u16/i32
     cands: jnp.ndarray,           # (9, 2, M2, N2) i32
@@ -771,7 +771,7 @@ def windowed_color_step_pm_rival(
     ),
 )
 def windowed_color_step_rival(
-    scalars: jnp.ndarray,
+    scalars: jnp.ndarray,         # (5,) i32 [color, lci, lcj, row0_b, col0_b]
     lam_mult: jnp.ndarray,
     cv_colors: jnp.ndarray,       # (4, side^2, M2, N2)
     rcv_colors: jnp.ndarray,      # (4, side2^2, M2, N2)

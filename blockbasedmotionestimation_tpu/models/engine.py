@@ -46,8 +46,10 @@ def transfer_mvs(dense_coarse: jnp.ndarray, coarse_bs: int, fine_bs: int) -> jnp
     if hc * wc > 4_000_000:
         # reshape-then-index, NOT a double-strided slice: XLA:TPU
         # miscompiles [::k, ::k] slices of LARGE 4-byte arrays into a
-        # device kernel fault (DESIGN.md section 8a).  Applied only above
-        # the measured envelope - below it the plain slice fuses better.
+        # device kernel fault (DESIGN.md section 8a; standalone repro:
+        # scripts/tpu_strided_slice_repro.py).  Applied only above the
+        # measured ~20 MB envelope - below it the plain slice fuses better
+        # (the unconditional form regressed the 1080p bench into HBM OOM).
         sampled = dense_coarse.reshape(
             hc // coarse_bs, coarse_bs, wc // coarse_bs, coarse_bs, 2
         )[:, 0, :, 0] * jnp.float32(2.0)

@@ -290,6 +290,160 @@ def _level_shardable(h: int, w: int, bs: int, t: int) -> bool:
     return h % (t * bs) == 0
 
 
+def plan_tiling(
+    cfg: MotionConfig,
+    padded_h: int,
+    padded_w: int,
+    t: int,
+    tx: int = 1,
+) -> list[dict]:
+    """Per-level shardability report for pre-padded (padded_h, padded_w)
+    frames on a (t row-tiles x tx col-tiles) spatial mesh.
+
+    Each entry: {level, h, w, bs, halo, strip_h, strip_w, rows_ok, cols_ok} -
+    exactly the predicate ``estimate_flow_padded_tiled`` evaluates, exposed
+    so callers (and ``derive_mv_cap``) can see WHY a level replicates."""
+    out = []
+    h, w = padded_h, padded_w
+    dims = []
+    for level in range(cfg.num_levels):
+        dims.append((h, w))
+        h, w = h // 2, w // 2  # pyrdown_u8 halves (dims stay even by padding)
+    for level, (h, w) in enumerate(dims):
+        bs = cfg.block_sizes[level]
+        halo = im2_halo(cfg, level)
+        rows_ok = _level_shardable(h, w, bs, t) and halo < h // t
+        cols_ok = tx > 1 and _level_shardable(w, h, bs, tx) and halo < w // tx
+        out.append(
+            dict(
+                level=level, h=h, w=w, bs=bs, halo=halo,
+                strip_h=h // t, strip_w=(w // tx if tx > 1 else w),
+                rows_ok=rows_ok, cols_ok=cols_ok,
+            )
+        )
+    return out
+
+
+def derive_mv_cap(
+    cfg: MotionConfig, orig_h: int, orig_w: int, t: int, tx: int = 1
+) -> int | None:
+    """Largest ``mv_cap`` that lets the FINEST level shard into ``t`` row
+    strips (and ``tx`` column strips when > 1) at the tile-aware padding.
+
+    The uncapped worst-case MV bound compounds per level
+    (``mv_bound``: 464 rows at the shipped config) and exceeds any
+    1080p/8-way strip, so out-of-box row tiling silently replicates every
+    level; a cap bounds the halo at ~cap + 2*S.  The cap is a MODELING
+    choice (like a codec's search range): MVs larger than it are clamped at
+    cross-level transfer, identically in the tiled and untiled engines.
+    Returns None when the uncapped halo already fits (no cap needed);
+    raises ValueError when even the smallest legal cap cannot fit (fewer
+    tiles, or bigger frames, are required).
+    """
+    p = pad_ops.compute_padding(orig_h, orig_w, cfg, row_tiles=t)
+    strip = p.padded_h // t
+    if tx > 1:
+        strip = min(strip, p.padded_w // tx)
+
+    def fits(cap: int | None) -> bool:
+        return im2_halo(cfg.replace(mv_cap=cap), 0) < strip
+
+    if fits(None):
+        return None
+    cap_min = max(
+        ss - bs for bs, ss in zip(cfg.block_sizes, cfg.search_sizes)
+    )  # the config floor: the coarsest search itself produces such MVs
+    if not fits(cap_min):
+        raise ValueError(
+            f"even mv_cap={cap_min} needs a {im2_halo(cfg.replace(mv_cap=cap_min), 0)}-row "
+            f"halo but strips are only {strip} rows: {t}x{tx} tiles cannot "
+            f"shard a {orig_h}x{orig_w} frame under this config; use fewer "
+            "tiles or rely on batch parallelism"
+        )
+    lo, hi = cap_min, max(cap_min + 1, im2_halo(cfg.replace(mv_cap=None), 0))
+    while lo + 1 < hi:  # fits(lo), not fits(hi)
+        mid = (lo + hi) // 2
+        if fits(mid):
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
+def _warn_if_fully_replicated(
+    cfg: MotionConfig, h: int, w: int, t: int, tx: int
+) -> None:
+    """Loudly flag the silent t-times-redundant case (every level falls back
+    to replicated execution, so 'tiling' computes the whole frame on every
+    device).  Emitted at trace time, once per compiled (shape, config)."""
+    plan = plan_tiling(cfg, h, w, t, tx)
+    if any(e["rows_ok"] or e["cols_ok"] for e in plan):
+        return
+    import warnings
+
+    e0 = plan[0]
+    if e0["halo"] >= e0["strip_h"]:
+        try:
+            cap = derive_mv_cap(cfg, h, w, t, tx)
+            hint = (
+                f"set mv_cap (derive_mv_cap suggests {cap}) and pad with "
+                "compute_padding(..., row_tiles=t), or use "
+                "estimate_flow_tiled_auto"
+            )
+        except ValueError as err:
+            hint = str(err)
+    else:
+        hint = (
+            "pad with compute_padding(..., row_tiles=t) so strips are "
+            "block-aligned, or use estimate_flow_tiled_auto"
+        )
+    warnings.warn(
+        f"estimate_flow_padded_tiled: NO pyramid level shards on the "
+        f"{t}x{tx} spatial mesh ({h}x{w} frame, level-0 halo {e0['halo']} "
+        f"rows vs {e0['strip_h']}-row strips) - every level will run "
+        f"REPLICATED on all devices ({t * tx}x redundant work); {hint}",
+        stacklevel=3,
+    )
+
+
+def estimate_flow_tiled_auto(
+    im1: jnp.ndarray,
+    im2: jnp.ndarray,
+    cfg: MotionConfig,
+    mesh: Mesh,
+    axis: str = "ty",
+    axis_x: str | None = None,
+) -> jnp.ndarray:
+    """Out-of-box spatial tiling on UNPADDED frames: derives everything
+    ``estimate_flow_padded_tiled`` needs from the mesh and frame size.
+
+    * pads with ``row_tiles = mesh.shape[axis]`` so strips are block-aligned;
+    * if ``cfg.mv_cap`` is unset and the uncapped halo cannot fit a strip,
+      applies ``derive_mv_cap`` (the largest cap that lets level 0 shard) -
+      an explicit user-set cap is always respected;
+    * raises (rather than silently replicating) when no cap can make the
+      finest level shard.
+
+    The reference's own column split needs no user tuning
+    (``parallel.h:20-58``); this is the TPU equivalent.  Returns (H, W, 2)
+    flow cropped to the original frame (MVs in PROCESSED pixel units, as
+    with ``estimate_flow_padded``).
+    """
+    h, w = im1.shape
+    t = mesh.shape[axis]
+    tx = mesh.shape[axis_x] if axis_x is not None else 1
+    run_cfg = cfg
+    if cfg.mv_cap is None:
+        cap = derive_mv_cap(cfg, h, w, t, tx)  # None = no cap needed
+        if cap is not None:
+            run_cfg = cfg.replace(mv_cap=cap)
+    p = pad_ops.compute_padding(h, w, run_cfg, row_tiles=t)
+    im1p = pad_ops.pad_frame(im1, p)
+    im2p = pad_ops.pad_frame(im2, p)
+    flow = estimate_flow_padded_tiled(im1p, im2p, run_cfg, mesh, axis, axis_x)
+    return flow[p.pad_y : p.pad_y + h, p.pad_x : p.pad_x + w]
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis", "axis_x"))
 def estimate_flow_padded_tiled(
     im1p: jnp.ndarray,
@@ -316,6 +470,7 @@ def estimate_flow_padded_tiled(
         )
     t = mesh.shape[axis]
     tx = mesh.shape[axis_x] if axis_x is not None else 1
+    _warn_if_fully_replicated(cfg, im1p.shape[0], im1p.shape[1], t, tx)
     levels = cfg.num_levels
     pyr1 = resample.build_pyramid(im1p, levels)
     pyr2 = resample.build_pyramid(im2p, levels)
@@ -372,7 +527,7 @@ def estimate_flow_padded_tiled(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "mesh", "batch_axis", "axis")
+    jax.jit, static_argnames=("cfg", "mesh", "batch_axis", "axis", "axis_x")
 )
 def estimate_flow_padded_batch_tiled(
     im1s: jnp.ndarray,
@@ -381,15 +536,19 @@ def estimate_flow_padded_batch_tiled(
     mesh: Mesh,
     batch_axis: str = "batch",
     axis: str = "ty",
+    axis_x: str | None = None,
 ) -> jnp.ndarray:
-    """ONE jitted program sharding BOTH parallel dimensions: frame pairs over
+    """ONE jitted program sharding ALL parallel dimensions: frame pairs over
     ``batch_axis`` (DCN across hosts) and rows over ``axis`` (halo exchange
-    on ICI) - the layout ``multihost.make_mesh`` builds.  Per device: a local
-    batch chunk of local row strips; the per-frame tiled level body is
-    vmapped over the chunk, so the ppermute halo exchanges batch together.
+    on ICI) - the layout ``multihost.make_mesh`` builds; with ``axis_x``
+    set, columns shard over a third mesh axis too (batch x ty x tx - the
+    full composition of data parallelism with the reference's own column
+    split, ``parallel.h:20-58``).  Per device: a local batch chunk of local
+    strips; the per-frame tiled level body is vmapped over the chunk, so
+    the ppermute halo exchanges batch together.
 
     im1s/im2s: (B, H', W') pre-padded uint8, B divisible by the batch axis.
-    Returns (B, H', W', 2) flow sharded (batch, rows).
+    Returns (B, H', W', 2) flow sharded (batch, rows[, cols]).
     """
     if cfg.regularizer == "exact":
         raise ValueError(
@@ -398,6 +557,7 @@ def estimate_flow_padded_batch_tiled(
             "windowed here"
         )
     t = mesh.shape[axis]
+    tx = mesh.shape[axis_x] if axis_x is not None else 1
     levels = cfg.num_levels
     pyr1 = [im1s]
     pyr2 = [im2s]
@@ -406,6 +566,7 @@ def estimate_flow_padded_batch_tiled(
         pyr2.append(jax.vmap(resample.pyrdown_u8)(pyr2[-1]))
 
     bt_sharding = NamedSharding(mesh, P(batch_axis, axis, None))
+    btx_sharding = NamedSharding(mesh, P(batch_axis, axis, axis_x))
 
     dense = None
     for level in range(levels - 1, -1, -1):
@@ -423,7 +584,28 @@ def estimate_flow_padded_batch_tiled(
                 pred = jnp.clip(pred, -float(cfg.mv_cap), float(cfg.mv_cap))
 
         halo = im2_halo(cfg, level)
-        if _level_shardable(h, w, bs, t) and halo < h // t:
+        rows_ok = _level_shardable(h, w, bs, t) and halo < h // t
+        cols_ok = (
+            axis_x is not None
+            and _level_shardable(w, h, bs, tx)
+            and halo < w // tx
+        )
+        if rows_ok and cols_ok:
+            im1 = jax.lax.with_sharding_constraint(im1, btx_sharding)
+            im2 = jax.lax.with_sharding_constraint(im2, btx_sharding)
+            body = _tiled_level_fn_2d(bs, ss, cfg, h, w, halo, axis, axis_x)
+            dense = shard_map(
+                jax.vmap(body),
+                mesh=mesh,
+                in_specs=(
+                    P(batch_axis, axis, axis_x),
+                    P(batch_axis, axis, axis_x),
+                    P(batch_axis, axis, axis_x, None),
+                ),
+                out_specs=P(batch_axis, axis, axis_x, None),
+                check_vma=False,
+            )(im1, im2, pred)
+        elif rows_ok:
             im1 = jax.lax.with_sharding_constraint(im1, bt_sharding)
             im2 = jax.lax.with_sharding_constraint(im2, bt_sharding)
             body = _tiled_level_fn(bs, ss, cfg, h, halo, axis)

@@ -22,10 +22,16 @@ GT_DIR = "/root/reference/middlebury/gt-flow"
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "EVAL_mvcap.json")
 
-base = MotionConfig(interp_factor=4, regularizer="windowed")
+# rival defaults ON since r3 - pin every column's rival flags explicitly so
+# the labels stay truthful across default changes
+base = MotionConfig(
+    interp_factor=4, regularizer="windowed",
+    rival_window=False, rival_radius=None,
+)
 configs = {
     "windowed": base,
     "windowed_cap64": base.replace(mv_cap=64),
+    "rival_r8": base.replace(rival_window=True, rival_radius=8),
     "rival_r8_cap64": base.replace(
         rival_window=True, rival_radius=8, mv_cap=64
     ),

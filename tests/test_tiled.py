@@ -222,6 +222,101 @@ def test_tiled_2d_equals_untiled(rng, mode, rival):
     np.testing.assert_array_equal(got, want)
 
 
+def test_derive_mv_cap_properties():
+    # the derived cap is (a) sufficient: level 0 shards at the tile-aware
+    # padding; (b) maximal: cap+1 would not; (c) None when the uncapped
+    # halo already fits; (d) a loud error when no cap can fit
+    from blockbasedmotionestimation_tpu.ops import pad as pad_ops
+
+    cfg = MotionConfig(interp_factor=1, regularizer="windowed")
+    cap = tiled.derive_mv_cap(cfg, 1080, 1920, 8)
+    assert cap is not None
+    p = pad_ops.compute_padding(1080, 1920, cfg, row_tiles=8)
+    strip = p.padded_h // 8
+    assert tiled.im2_halo(cfg.replace(mv_cap=cap), 0) < strip
+    assert tiled.im2_halo(cfg.replace(mv_cap=cap + 1), 0) >= strip
+    assert tiled.derive_mv_cap(cfg, 1080, 1920, 1) is None  # whole frame fits
+    with pytest.raises(ValueError, match="cannot shard"):
+        tiled.derive_mv_cap(cfg, 256, 256, 8)  # 32-row strips < any legal halo
+    # the plan names the levels that shard under the derived cap
+    plan = tiled.plan_tiling(
+        cfg.replace(mv_cap=cap), p.padded_h, p.padded_w, 8
+    )
+    assert plan[0]["rows_ok"]
+
+
+def test_tiled_warns_when_fully_replicated(rng):
+    # out-of-box row tiling whose halo swallows every strip must SAY so
+    # instead of silently computing the whole frame on all 8 devices
+    cfg = MotionConfig(
+        block_sizes=(4, 4), search_sizes=(8, 8), interp_factor=1,
+        regularizer="windowed",
+    )
+    plan = tiled.plan_tiling(cfg, 32, 64, 8)
+    assert not any(e["rows_ok"] or e["cols_ok"] for e in plan)
+    im1, im2 = _pair(rng, 32, 64, dy=1, dx=-1)
+    mesh = _mesh()
+    with pytest.warns(UserWarning, match="REPLICATED"):
+        got = np.asarray(tiled.estimate_flow_padded_tiled(im1, im2, cfg, mesh))
+    want = np.asarray(engine.estimate_flow_padded(im1, im2, cfg))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_estimate_flow_tiled_auto(rng):
+    # unpadded frames + a mesh: auto derives the cap and tile-aware padding,
+    # shards the finest level, and equals the untiled engine at the SAME
+    # derived config (the out-of-box path the reference's split never
+    # needed tuning for, parallel.h:20-58)
+    from blockbasedmotionestimation_tpu.ops import pad as pad_ops
+
+    cfg = MotionConfig(
+        block_sizes=(4, 4, 4), search_sizes=(12, 12, 12), interp_factor=1,
+        regularizer="windowed",
+    )
+    h, w = 250, 64
+    t = 8
+    cap = tiled.derive_mv_cap(cfg, h, w, t)
+    assert cap is not None  # uncapped halo exceeds the strips
+    run_cfg = cfg.replace(mv_cap=cap)
+    p = pad_ops.compute_padding(h, w, run_cfg, row_tiles=t)
+    plan = tiled.plan_tiling(run_cfg, p.padded_h, p.padded_w, t)
+    assert plan[0]["rows_ok"]
+
+    im1, im2 = _pair(rng, h, w, dy=2, dx=-1)
+    mesh = _mesh()
+    got = np.asarray(tiled.estimate_flow_tiled_auto(im1, im2, cfg, mesh))
+    assert got.shape == (h, w, 2)
+    want = np.asarray(
+        engine.estimate_flow_padded(
+            pad_ops.pad_frame(jnp.asarray(im1), p),
+            pad_ops.pad_frame(jnp.asarray(im2), p),
+            run_cfg,
+        )
+    )[p.pad_y : p.pad_y + h, p.pad_x : p.pad_x + w]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batch_tiled_3axis_matches_untiled(rng):
+    # the full composition in ONE program: batch x rows x columns (what
+    # __graft_entry__.dryrun_multichip now exercises on the driver side)
+    cfg = MotionConfig(
+        block_sizes=(4, 4), search_sizes=(6, 6), interp_factor=1,
+        regularizer="windowed", rival_window=True,
+    )
+    mesh = _mesh(("batch", "ty", "tx"), (2, 2, 2))
+    pairs = [_pair(rng, 24, 64, dy=d % 3, dx=-(d % 2)) for d in range(2)]
+    im1s = np.stack([p[0] for p in pairs])
+    im2s = np.stack([p[1] for p in pairs])
+    got = np.asarray(
+        tiled.estimate_flow_padded_batch_tiled(
+            im1s, im2s, cfg, mesh, "batch", "ty", "tx"
+        )
+    )
+    for b in range(2):
+        want = np.asarray(engine.estimate_flow_padded(im1s[b], im2s[b], cfg))
+        np.testing.assert_array_equal(got[b], want)
+
+
 def test_tiled_2d_coarse_fallback(rng):
     # levels whose columns can't split block-aligned fall back to row-only
     # or replicated execution and still match untiled exactly
