@@ -93,14 +93,18 @@ def main() -> None:
 
     fields_per_sec = 1.0 / dt
 
-    # machine-checkable roofline: the fused windowed pipeline's structural
-    # floor (pooled-CV VPU int-ops + CV write/read HBM traffic; see
-    # utils.profiling.windowed_pipeline_floor and DESIGN.md section 7)
+    # machine-checkable roofline: the fused windowed pipeline's PER-COMPONENT
+    # structural floor (r4: pyramid/gather/CV build/search/CV stream/step
+    # operands/rival slabs itemized and audited term-by-term against a
+    # per-op trace - see utils.profiling.windowed_pipeline_roofline,
+    # scripts/tpu_roofline_audit.py, and FLOOR.md; the r3 single-term floor
+    # left ~16 ms/field of real work outside the model)
     from blockbasedmotionestimation_tpu.ops import pad as pad_ops
     from blockbasedmotionestimation_tpu.utils import profiling
 
     p = pad_ops.compute_padding(H, W, cfg)
-    floor = profiling.windowed_pipeline_floor(cfg, p.padded_h, p.padded_w)
+    roof = profiling.windowed_pipeline_roofline(cfg, p.padded_h, p.padded_w)
+    floor_s = roof["total_floor_s"]
     print(
         json.dumps(
             {
@@ -110,8 +114,9 @@ def main() -> None:
                 "vs_baseline": round(fields_per_sec / _BASELINE_FIELDS_PER_SEC, 3),
                 "baseline_fields_per_sec": _BASELINE_FIELDS_PER_SEC,
                 "baseline_kind": "measured single-thread C++ replica (native/BASELINE_CPP.json)",
-                "floor_ms_per_field": round(floor["floor_s"] * 1e3, 2),
-                "sol_fraction": round(floor["floor_s"] / dt, 4),
+                "floor_ms_per_field": round(floor_s * 1e3, 2),
+                "floor_kind": "per-component roofline (FLOOR.md)",
+                "sol_fraction": round(floor_s / dt, 4),
             }
         )
     )

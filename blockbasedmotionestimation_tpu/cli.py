@@ -138,7 +138,8 @@ def cmd_sequence(args) -> int:
         print(f"pair {r.index:05d}: {state}", flush=True)
 
     results = sequence.run_sequence(
-        frames, args.out_dir, cfg, progress=progress, batch_size=args.batch
+        frames, args.out_dir, cfg, progress=progress, batch_size=args.batch,
+        out_stride=args.out_stride, transfer_dtype=args.transfer,
     )
     done = [r for r in results if not r.skipped]
     total = sum(r.seconds for r in done)
@@ -196,6 +197,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("out_dir")
     p.add_argument("--batch", type=int, default=1,
                    help="pairs per device program (throughput mode)")
+    p.add_argument("--out-stride", type=int, default=1,
+                   help="on-device flow subsampling before transfer (the "
+                        "reference driver writes every interp_factor-th "
+                        "pixel, main_class.cpp:57-70); cuts the D2H tax "
+                        "on remote-tunnel backends")
+    p.add_argument("--transfer", choices=("f32", "f16"), default="f32",
+                   help="device->host dtype; f16 halves transfer and is "
+                        "exact for quarter-pel |mv| <= 512")
     _add_engine_args(p)
     p.set_defaults(fn=cmd_sequence)
 

@@ -88,9 +88,12 @@ class MotionConfig:
         materialized.  Bit-identical to the dense path (same diffs, same
         winner selection); per-step compute is bounded by the delta bounding
         box each tile's candidates span.  Composes with rival windows (the
-        rival slab is recomputed the same way) and removes the dense path's
-        batch/resolution HBM cliffs.  Requires the fused pallas path,
-        untiled, bs % 8 == 0; typical value 4.  None = dense volumes.
+        rival slab is recomputed the same way), with ROW TILING (r4: the
+        cell-layout rounds ppermute the boundary cell rows per color step,
+        so capacity mode runs inside shard_map strips - 8K on 4 chips),
+        and removes the dense path's batch/resolution HBM cliffs.
+        Requires the fused pallas path, bs % 8 == 0, untiled or 1-D
+        row-tiled; typical value 4.  None = dense volumes.
       rival_window: ``windowed`` mode only.  Gather a SECOND frame-2 window
         per parent, centered on its most-different 8-neighbor search MV, and
         evaluate candidates outside the primary window against it.  Closes

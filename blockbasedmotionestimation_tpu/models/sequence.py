@@ -45,6 +45,8 @@ def run_sequence(
     progress: Callable[[PairResult], None] | None = None,
     write_report: bool = True,
     batch_size: int = 1,
+    out_stride: int = 1,
+    transfer_dtype: str = "f32",
 ) -> list[PairResult]:
     """Estimate flow for every consecutive pair, checkpointing per pair.
 
@@ -53,10 +55,42 @@ def run_sequence(
     delete them to force recompute.  batch_size > 1 groups pending pairs
     into one vmapped device program (throughput mode; the checkpoint unit
     stays one .flo per pair).
+
+    out_stride / transfer_dtype cut the device->host transfer that bounds
+    4K sequences on remote-tunnel backends (each field is 66 MB of f32
+    flow at ~12 MB/s; the device computes 30x faster than that drains).
+    ``out_stride=s`` subsamples the dense field ON DEVICE at stride s
+    before transfer (the reference driver itself writes a stride-subsampled
+    field - it samples every interp_factor-th pixel,
+    ``main_class.cpp:57-70``); ``transfer_dtype="f16"`` ships float16 and
+    upcasts on the host (flow values are quarter-pel integers; f16 is
+    exact for |mv| <= 512 at quarter-pel granularity, i.e. every
+    Middlebury/production range).  The .flo checkpoint then holds the
+    subsampled field at the original numeric values.
     """
     out_dir = os.fspath(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     batch_size = max(1, batch_size)
+    if transfer_dtype not in ("f32", "f16"):
+        raise ValueError(f"transfer_dtype must be f32 or f16, got {transfer_dtype}")
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _shrink(dev):
+        # on-device subsample + downcast BEFORE the tunnel transfer.
+        # reshape+index, not [::s, ::s]: XLA:TPU miscompiles large
+        # double-strided 4-byte slices (DESIGN.md section 8a)
+        if out_stride > 1:
+            b, h, w, c = dev.shape
+            hs, ws = h // out_stride, w // out_stride
+            dev = dev[:, : hs * out_stride, : ws * out_stride].reshape(
+                b, hs, out_stride, ws, out_stride, c
+            )[:, :, 0, :, 0]
+        if transfer_dtype == "f16":
+            dev = dev.astype(jnp.float16)
+        return dev
 
     cache: dict[int, np.ndarray] = {}
 
@@ -101,6 +135,8 @@ def run_sequence(
             dev = estimate_flow_driver_batched(a, b, cfg)
         else:
             dev = estimate_flow_driver(a[0], b[0], cfg)[None]
+        if out_stride > 1 or transfer_dtype != "f32":
+            dev = _shrink(dev)
         return batch, dev, time.time()
 
     io_pool = ThreadPoolExecutor(max_workers=4)
@@ -109,6 +145,8 @@ def run_sequence(
     def drain(in_flight) -> None:
         batch, dev, t0 = in_flight
         flows = np.asarray(dev)  # true barrier: download the whole batch
+        if flows.dtype != np.float32:
+            flows = flows.astype(np.float32)  # .flo stores f32
         per = (time.time() - t0) / len(batch)
         for (i, path), flow in zip(batch, flows):
             write_futs.append(
@@ -159,6 +197,8 @@ def run_sequence(
                 round(len(done) / max(sum(r.seconds for r in done), 1e-9), 4)
                 if done else None
             ),
+            "out_stride": out_stride,
+            "transfer_dtype": transfer_dtype,
             "config": {
                 "block_sizes": list(cfg.block_sizes),
                 "search_sizes": list(cfg.search_sizes),

@@ -251,6 +251,7 @@ def _pallas_round_pm(
     dv_slots: jnp.ndarray | None = None,  # compact mode: (nch, K, 2) slots
     k_slots: int = 0,
     fused_in: dict | None = None,  # chunk-fused mode: VMEM slab inputs
+    cell_exchange=None,  # row-tiled: (top_edge, bot_edge) -> ghost rows
 ) -> jnp.ndarray:
     """Sub-divided rounds (f >= 2) in PARENT-MAJOR cell layout.
 
@@ -259,6 +260,19 @@ def _pallas_round_pm(
     cheap strided slices with the lane dim untouched.  Only the per-step
     candidate tensor (a few MB) is transposed between the grid layout and
     the cell layout.
+
+    Row-tiled strips (``cell_exchange`` set) run this same round per tile:
+    neighbor-tile MVs enter ONLY through the per-step candidate rows - the
+    closure ppermutes the boundary cell rows (my first real cell row north,
+    my last south) and the received ghost rows overwrite the lane-roll
+    wrap artifacts of ``shift_y`` at the tile's first/last parent row.  No
+    chunk-major operand (CV, slabs, masks) ever re-lays out for ghosts,
+    and the exchange runs before every color step, preserving the
+    Gauss-Seidel visibility order across tiles - so tiled == untiled stays
+    bit-exact (the tiled equality tests cover this path with and without
+    ``fused_in``).  Frame-boundary devices receive zero rows; every
+    position that could read them is masked by the global-coordinate
+    presence masks, exactly like the untiled rolls' wrap artifacts.
     """
     from blockbasedmotionestimation_tpu.kernels.fused_step import (
         windowed_color_step_pm_fused,
@@ -397,7 +411,29 @@ def _pallas_round_pm(
 
     def sweep_body(gc, lam_mult):
         for ci, cj in _COLORS:
+            if cell_exchange is not None:
+                # refresh the cross-tile ghost rows BEFORE this color step:
+                # send my first real cell row north / last south, receive
+                # the neighbors' boundary rows
+                top_edge = gc[:, 0, :, :npx]           # (2, f, npx)
+                bot_edge = gc[:, f - 1, :, n_p - npx:]
+                from_north, from_south = cell_exchange(top_edge, bot_edge)
             ys_by_dy = {dy: shift_y(gc, ci + dy) for dy in (-1, 0, 1)}
+            if cell_exchange is not None:
+                # overwrite shift_y's lane-roll wrap at the tile's first
+                # (t == -1 reads the parent-above's cell row f-1) and last
+                # (t == 2 reads the parent-below's cell row 0) parent rows
+                t_up, t_dn = ci - 1, ci + 1
+                if t_up == -1:
+                    ys = ys_by_dy[-1]  # (2, s2, f, nP); row 0 <- ghost
+                    ys_by_dy[-1] = jax.lax.dynamic_update_slice(
+                        ys, from_north[:, None], (0, 0, 0, 0)
+                    )
+                if t_dn == 2:
+                    ys = ys_by_dy[1]   # last row <- ghost
+                    ys_by_dy[1] = jax.lax.dynamic_update_slice(
+                        ys, from_south[:, None], (0, s2 - 1, 0, n_p - npx)
+                    )
             cands = jnp.stack(
                 [shift_x(ys_by_dy[dy], cj + dx) for dy, dx in reg.SLOTS],
                 axis=0,
@@ -704,6 +740,7 @@ def windowed_schedule(
     rival: bool = False,
     rival_extend=None,
     rival_radius: int | None = None,
+    cell_exchange=None,
 ) -> jnp.ndarray:
     """The per-level regularization schedule on window-resident data.
 
@@ -780,7 +817,7 @@ def windowed_schedule(
         patches1, windows, grid0, parent_mv, bs, ext, r, cost, h, w, row0,
         make_gp, lam0, sweeps_per_round, impl, untiled, cvs_pallas,
         rwindows=rwindows, rbase=rbase, rcvs_pallas=rcvs_pallas, r2=r2,
-        col0=col0,
+        col0=col0, cell_exchange=cell_exchange,
     )
 
 
@@ -812,6 +849,7 @@ def _rounds_loop(
     fused_in: dict | None = None,
     fuse_max: int = 0,
     col0: jnp.ndarray | int = 0,
+    cell_exchange=None,
 ) -> jnp.ndarray:
     """The subdivision rounds of the windowed schedule (see module docstring).
 
@@ -834,15 +872,18 @@ def _rounds_loop(
         if cvs_pallas is not None:
             # fused Pallas color-step path: per-color constants hoisted out
             # of the sweep scan, selection + energy + winner in one kernel.
-            # Untiled sub-divided rounds run in parent-major cell layout (no
-            # big transposes); tiled runs keep the slab path, whose make_gp
-            # candidate gather carries the per-step neighbor MV halo that
-            # the cell-layout lane rolls cannot see.
-            round_fn = _pallas_round_pm if (f >= 2 and untiled) else _pallas_round
+            # Sub-divided rounds run in parent-major cell layout (no big
+            # transposes) when untiled OR row-tiled with a cell_exchange
+            # closure (the per-step ghost-row ppermute carries the
+            # cross-tile Gauss-Seidel visibility the lane rolls cannot
+            # see); 2-D-tiled runs keep the slab path, whose make_gp
+            # candidate gather exchanges both axes.
+            cell_ok = untiled or cell_exchange is not None
+            round_fn = _pallas_round_pm if (f >= 2 and cell_ok) else _pallas_round
             rkw = {}
             use_fused = (
                 fused_in is not None and cur <= fuse_max
-                and f >= 2 and untiled
+                and f >= 2 and cell_ok
             )
             if use_fused:
                 # chunk-fused round: the color-step kernel recomputes
@@ -866,6 +907,8 @@ def _rounds_loop(
                 vol = cvs_pallas.pop(cur)
             if round_fn is _pallas_round:
                 rkw["col0_b"] = col0 // cur
+            elif cell_exchange is not None:
+                rkw["cell_exchange"] = cell_exchange
             grid = round_fn(
                 grid, vol, parent_mv,
                 bs=bs, cur=cur, side=side, r=r, h=h, w=w,
@@ -1041,6 +1084,7 @@ def windowed_level(
     compact: int | None = None,
     compact_ring: int = 3,
     fuse: int | None = None,
+    cell_exchange=None,
 ) -> jnp.ndarray:
     """Fused block search + windowed regularization from ONE cost volume.
 
@@ -1124,7 +1168,7 @@ def windowed_level(
     use_fused_cv = (
         fuse is not None
         and impl in ("pallas", "pallas_interpret")
-        and untiled
+        and (untiled or cell_exchange is not None)
         and not use_compact
         and bs % 8 == 0
     )
@@ -1276,7 +1320,7 @@ def windowed_level(
             )[1]
         elif (
             cvs_pallas is not None
-            and untiled
+            and (untiled or cell_exchange is not None)
             and bs % 8 == 0
             and not use_compact
             and not _os.environ.get("BBME_NO_HYBRID")
@@ -1327,4 +1371,5 @@ def windowed_level(
         compact_cvs=compact_cvs, dv_slots=dv_slots,
         k_slots=0 if compact is None else compact,
         fused_in=fused_in, fuse_max=fuse_eff, col0=col0,
+        cell_exchange=cell_exchange,
     )

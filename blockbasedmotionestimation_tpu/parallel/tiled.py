@@ -240,6 +240,20 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
             gr = _exchange_rows_edge(g, axis)
             return jnp.pad(gr, ((0, 0), (1, 1), (0, 0)), mode="edge")
 
+        def cell_exchange(top_edge, bot_edge):
+            # cell-layout rounds (ops.windowed._pallas_round_pm): ppermute
+            # the boundary cell rows so cross-tile neighbors stay visible
+            # per color step; frame-boundary tiles receive zeros (masked by
+            # the global presence checks downstream)
+            t = jax.lax.axis_size(axis)
+            from_north = jax.lax.ppermute(
+                bot_edge, axis, [(i, i + 1) for i in range(t - 1)]
+            )
+            from_south = jax.lax.ppermute(
+                top_edge, axis, [(i, i - 1) for i in range(1, t)]
+            )
+            return from_north, from_south
+
         if cfg.uses_fused_windowed:
             from blockbasedmotionestimation_tpu.ops.windowed import windowed_level
 
@@ -249,7 +263,8 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
                 cost=cfg.cost, full_h=full_h, row0=row0, im2_row0=im2_row0,
                 make_gp=make_gp, impl=cfg.search_impl,
                 rival=cfg.rival_window, rival_extend=rival_extend,
-                rival_radius=cfg.rival_radius,
+                rival_radius=cfg.rival_radius, fuse=cfg.cv_fused,
+                cell_exchange=cell_exchange,
             )
 
         grid = block_search_level(
@@ -268,7 +283,7 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
                 full_h=full_h, row0=row0, im2_row0=im2_row0, make_gp=make_gp,
                 impl=cfg.search_impl,
                 rival=cfg.rival_window, rival_extend=rival_extend,
-                rival_radius=cfg.rival_radius,
+                rival_radius=cfg.rival_radius, cell_exchange=cell_exchange,
             )
         return reg.run_schedule(
             im1_t, im2_buf, grid, bs, lam0, cfg.sweeps_per_round, cfg.regularizer,

@@ -8,6 +8,14 @@ a controlled gain/offset/noise/occlusion-fill perturbation
 
 Run on the TPU from repo root:  python scripts/run_robustness_eval.py [quick]
 (quick: 2-level/16px config on 3 sequences for a fast CPU smoke run).
+
+Optional second arg: comma-separated config subset + output suffix, e.g.
+``python scripts/run_robustness_eval.py full windowed,rival_r8`` writes
+EVAL_robust_windowed_rival_r8.{json,md}.  The unrestricted fourcolor
+baseline is gather-bound on TPU (~25 s/field), so it runs as a separate
+CPU process (``JAX_PLATFORMS=cpu ... full fourcolor``) in parallel with
+the TPU configs; ``merge`` combines the partial JSONs into the final
+EVAL_robust.md/.json.
 """
 
 import json
@@ -18,6 +26,13 @@ import time
 import numpy as np
 
 import _cache  # noqa: F401
+
+if os.environ.get("BBME_FORCE_CPU") == "1":
+    # this environment pre-pins JAX_PLATFORMS=axon via sitecustomize; the
+    # reliable CPU pin is in-process BEFORE first jax use (tests/conftest.py)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 from blockbasedmotionestimation_tpu.config import MotionConfig
 from blockbasedmotionestimation_tpu.models import evaluate
@@ -36,8 +51,55 @@ VARIANTS = {
 }
 
 
+def _write_md(out: dict, seqs, path: str) -> None:
+    lines = [
+        "# EVAL_robust — photometric-robustness EPE (synth-warp + nuisance)",
+        "",
+        "Mean EPE over " + ", ".join(seqs) + " (perturbation applied to frame 1;"
+        " see `utils.synth.pair_from_gt_photometric`).  windowed/rival columns"
+        " ran on TPU, the fourcolor baseline on CPU/XLA (gather-bound on TPU).",
+        "",
+        "| variant | " + " | ".join(out.keys()) + " |",
+        "|---|" + "---|" * len(out),
+    ]
+    for vname in VARIANTS:
+        row = [f"{out[c][vname]['mean']:.4f}" for c in out]
+        lines.append(f"| {vname} | " + " | ".join(row) + " |")
+    lines.append("")
+    for cname in out:
+        clean = out[cname]["clean"]["mean"]
+        worst = max(out[cname][v]["mean"] for v in VARIANTS)
+        lines.append(
+            f"- **{cname}**: clean {clean:.4f}, worst variant {worst:.4f} "
+            f"(degradation {worst - clean:+.4f})."
+        )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def merge(parts: list[str]) -> None:
+    """Combine partial EVAL_robust_<suffix>.json files into the final pair."""
+    out, seqs = {}, None
+    for p in parts:
+        with open(p) as f:
+            d = json.load(f)
+        seqs = d["sequences"]
+        out.update(d["results"])
+    # canonical column order
+    order = [c for c in ("fourcolor", "windowed", "rival_r8") if c in out]
+    out = {c: out[c] for c in order + [c for c in out if c not in order]}
+    with open(os.path.join(ROOT, "EVAL_robust.json"), "w") as f:
+        json.dump({"sequences": seqs, "results": out}, f, indent=1)
+    _write_md(out, seqs, os.path.join(ROOT, "EVAL_robust.md"))
+    print("wrote EVAL_robust.md / EVAL_robust.json")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "merge":
+        merge(sys.argv[2:])
+        return
     quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
+    subset = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     if quick:
         seqs = ("Dimetrodon", "Urban2", "Grove3")
         # rival defaults ON since r3: pin per column
@@ -65,6 +127,13 @@ def main() -> None:
             "fourcolor": base.replace(regularizer="fourcolor"),
         }
 
+    if subset:
+        configs = {c: configs[c] for c in subset}
+        suffix = "_" + "_".join(subset)
+    else:
+        suffix = "_quick" if quick else ""
+    jpath = os.path.join(ROOT, f"EVAL_robust{suffix}.json")
+
     out = {}
     for cname, cfg in configs.items():
         out[cname] = {}
@@ -85,33 +154,11 @@ def main() -> None:
                 "mean": float(np.mean(epes)),
                 "per_seq": dict(zip(seqs, [float(e) for e in epes])),
             }
-            with open(os.path.join(ROOT, "EVAL_robust.json"), "w") as f:
+            with open(jpath, "w") as f:
                 json.dump({"sequences": list(seqs), "results": out}, f, indent=1)
 
-    # markdown table
-    lines = [
-        "# EVAL_robust — photometric-robustness EPE (synth-warp + nuisance)",
-        "",
-        "Mean EPE over " + ", ".join(seqs) + " (perturbation applied to frame 1;"
-        " see `utils.synth.pair_from_gt_photometric`).",
-        "",
-        "| variant | " + " | ".join(out.keys()) + " |",
-        "|---|" + "---|" * len(out),
-    ]
-    for vname in VARIANTS:
-        row = [f"{out[c][vname]['mean']:.4f}" for c in out]
-        lines.append(f"| {vname} | " + " | ".join(row) + " |")
-    lines.append("")
-    for cname in out:
-        clean = out[cname]["clean"]["mean"]
-        worst = max(out[cname][v]["mean"] for v in VARIANTS)
-        lines.append(
-            f"- **{cname}**: clean {clean:.4f}, worst variant {worst:.4f} "
-            f"(degradation {worst - clean:+.4f})."
-        )
-    with open(os.path.join(ROOT, "EVAL_robust.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print("wrote EVAL_robust.md / EVAL_robust.json")
+    _write_md(out, seqs, os.path.join(ROOT, f"EVAL_robust{suffix}.md"))
+    print(f"wrote EVAL_robust{suffix}.md / EVAL_robust{suffix}.json")
 
 
 if __name__ == "__main__":

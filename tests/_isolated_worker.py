@@ -95,6 +95,34 @@ def main() -> int:
         base = synth.textured_image(128, 160, rng)
         im1 = base[:96, :128]
         im2 = base[4:100, 3:131]
+    elif scenario in ("tiled_cell_rounds", "tiled_cell_rounds_fused"):
+        # r4: row-tiled strips run the parent-major cell-layout rounds
+        # (and, with cv_fused, the chunk-fused/hybrid kernels); neighbor
+        # MVs cross tiles only through the per-step ghost-row ppermute
+        # (ops.windowed._pallas_round_pm cell_exchange).  Tiled == untiled
+        # bit for bit, including hybrid rival.
+        from jax.sharding import Mesh
+
+        from blockbasedmotionestimation_tpu.parallel import tiled
+
+        cfg = MotionConfig(
+            block_sizes=(8, 8), search_sizes=(16, 16), interp_factor=1,
+            regularizer="windowed", rival_window=True,
+            search_impl="pallas_interpret",
+            cv_fused=4 if scenario.endswith("fused") else None,
+        )
+        h, w, t = 256, 64, 8
+        assert tiled.im2_halo(cfg, 0) < h // t  # both levels must shard
+        assert tiled.im2_halo(cfg, 1) < (h // 2) // t
+        base = synth.textured_image(h + 32, w + 32, rng)
+        im1 = base[16 : 16 + h, 16 : 16 + w]
+        im2 = base[18 : 18 + h, 15 : 15 + w]
+        mesh = Mesh(np.array(jax.devices()), ("ty",))
+        a = np.asarray(engine.estimate_flow_padded(im1, im2, cfg))
+        b = np.asarray(tiled.estimate_flow_padded_tiled(im1, im2, cfg, mesh))
+        np.testing.assert_array_equal(a, b)
+        print(f"{scenario}: parity ok")
+        return 0
     else:
         print(f"unknown scenario {scenario}", file=sys.stderr)
         return 2

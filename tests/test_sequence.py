@@ -70,3 +70,25 @@ def test_sequence_batched_matches_single(tmp_path, rng):
         a = flowio.read_flo(str(d1 / sequence.flo_name(i)))
         b = flowio.read_flo(str(d2 / sequence.flo_name(i)))
         np.testing.assert_array_equal(a, b)
+
+
+def test_sequence_out_stride_and_f16(tmp_path, rng):
+    # on-device subsampling + f16 transfer (the 4K D2H-tax controls): the
+    # checkpoint holds exactly the full field subsampled at the stride, and
+    # f16 is lossless for quarter-pel production-range values
+    from blockbasedmotionestimation_tpu.config import tiny_config
+    from blockbasedmotionestimation_tpu.utils import flowio
+
+    cfg = tiny_config(block_sizes=(8,), search_sizes=(16,), regularizer="windowed")
+    frames = [rng.integers(0, 256, size=(48, 64), dtype=np.uint8) for _ in range(3)]
+    d1, d2 = tmp_path / "full", tmp_path / "sub"
+    sequence.run_sequence(frames, d1, cfg)
+    r = sequence.run_sequence(
+        frames, d2, cfg, out_stride=2, transfer_dtype="f16"
+    )
+    assert [x.index for x in r] == [0, 1]
+    for i in range(2):
+        full = flowio.read_flo(str(d1 / sequence.flo_name(i)))
+        sub = flowio.read_flo(str(d2 / sequence.flo_name(i)))
+        assert sub.shape == (24, 32, 2)
+        np.testing.assert_array_equal(sub, full[::2, ::2])

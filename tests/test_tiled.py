@@ -331,3 +331,19 @@ def test_tiled_2d_coarse_fallback(rng):
         tiled.estimate_flow_padded_tiled(im1, im2, cfg, mesh, axis_x="tx")
     )
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("fused", ["", "_fused"])
+def test_tiled_pallas_cell_rounds_equal_untiled(fused):
+    # row-tiled strips now run the PARENT-MAJOR cell-layout rounds (and,
+    # with cv_fused, the chunk-fused/hybrid kernels): neighbor-tile MVs
+    # enter only through the per-step ghost-row ppermute
+    # (ops.windowed._pallas_round_pm cell_exchange).  Bit-exact vs the
+    # untiled engine, including hybrid rival - capacity mode composes with
+    # scale (r3 VERDICT item 3).  These are among the suite's largest
+    # interpret-mode compiles, so they run heap-isolated like the other
+    # chunk-fused parity checks (DESIGN.md section 8b); the scenario body
+    # lives in tests/_isolated_worker.py.
+    from tests.test_windowed import _run_isolated
+
+    _run_isolated(f"tiled_cell_rounds{fused}")
