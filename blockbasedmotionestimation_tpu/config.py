@@ -106,6 +106,18 @@ class MotionConfig:
         (2*rival_radius+1)^2, so a reduced radius buys back most of the
         rival throughput tax; adopted-from-rival MVs then stay within
         rival_center +- rival_radius.
+      cv_store_radius: r_store traffic mode for the production hybrid
+        path (``windowed`` + ``rival_window`` + pallas).  The cur=2 cost
+        volume - the pipeline's HBM dominator (~1.2 GB/1080p field written
+        + streamed once per sweep) - is stored only for candidate deltas
+        |d| <= cv_store_radius; in-window candidates beyond it are
+        recomputed inside the color-step kernel from the VMEM-resident
+        main window slab (``kernels.fused_step._kernel_pm_hybrid_tail``),
+        exactly like rival candidates.  BIT-EXACT vs the dense volume
+        (same window pixels, same pooling); after the search, candidate
+        deltas cluster well inside the radius except at motion
+        discontinuities, so the recompute bboxes are usually empty.
+        None = dense (full radius).  Ignored outside the hybrid path.
       window_center: ``windowed`` mode only.  ``pred`` (default) centers the
         per-parent windows on the truncated prediction - the spiral search's
         own center (``motion_framework.cpp:233-234``) - so ONE pooled
@@ -136,6 +148,7 @@ class MotionConfig:
     rival_window: bool = True
     rival_radius: int | None = 8
     mv_cap: int | None = None
+    cv_store_radius: int | None = None
     cv_compact: int | None = None
     cv_compact_ring: int = 3
     cv_fused: int | None = None
@@ -155,6 +168,8 @@ class MotionConfig:
                 raise ValueError(f"search size {ss} must be >= block size {bs}")
         if self.interp_factor < 1:
             raise ValueError("interp_factor must be >= 1")
+        if self.cv_store_radius is not None and self.cv_store_radius < 0:
+            raise ValueError("cv_store_radius must be >= 0")
         if self.cv_fused is not None:
             if self.cv_fused < 2:
                 raise ValueError("cv_fused must be >= 2 (sub-block size)")

@@ -156,7 +156,7 @@ def _pooled_kernel_planes(patches_ref, wslab_ref, *out_refs, bs, ext, r, cost):
 
 
 def _diff_kernel_static(patches_ref, wplanes_ref, *out_refs, bs, ext,
-                        r, cost, emit_o2=True):
+                        r, cost, emit_o2=True, store_r2=None):
     """Fully-unrolled parity-plane diff kernel: cur=2 and cur=4, both split.
 
     Structural changes over ``_pooled_kernel_planes``, measured ~2x faster
@@ -195,6 +195,16 @@ def _diff_kernel_static(patches_ref, wplanes_ref, *out_refs, bs, ext,
     else:
         (o4_ref,) = out_refs
     dt4 = o4_ref.dtype
+    # store_r2: the cur=2 volume keeps only |dx-delta| <= store_r2 (the
+    # r_store traffic mode - out-of-band candidates are recomputed from
+    # the window slab by the hybrid tail kernel,
+    # kernels/fused_step._kernel_pm_hybrid_tail).  Only the COLUMN delta
+    # is restricted: dy is the grid dimension, and a dy-restricted store
+    # needs a clamped/non-monotonic output index_map, which HANGS this
+    # remote Mosaic pipeline outright (measured on a 3-line repro, r4) -
+    # the dx restriction is purely static and already halves the volume.
+    off2 = 0 if store_r2 is None else r - store_r2
+    ss2 = side if store_r2 is None else 2 * store_r2 + 1
     for dx in range(side):
         halves = []
         for bx in range(2):
@@ -206,11 +216,11 @@ def _diff_kernel_static(patches_ref, wplanes_ref, *out_refs, bs, ext,
                 d = jnp.abs(d) if cost == "sad" else d * d
                 acc = d if acc is None else acc + d
             halves.append(acc.reshape(s2, 2, q4, cb).sum(axis=1))
-        if emit_o2:
+        if emit_o2 and off2 <= dx < off2 + ss2:
             for bx in range(2):
                 # y-parity split on the leading dim is free
                 hr = halves[bx].reshape(s2 // 2, 2, q4, cb)
-                o2_ref[:, :, bx, 0, 0, dx] = hr.astype(dt2)
+                o2_ref[:, :, bx, 0, 0, dx - off2] = hr.astype(dt2)
         pool4 = (halves[0] + halves[1]).reshape(q4, 2, q4, cb).sum(axis=1)
         pr = pool4.reshape(q4 // 2, 2, q4 // 2, 2, cb)
         for bx in range(2):
@@ -624,7 +634,7 @@ def compact_tables(
     jax.jit,
     static_argnames=(
         "bs", "ext", "r", "cost", "block_chunk", "interpret", "variant",
-        "emit_o2",
+        "emit_o2", "store_r2",
     ),
 )
 def delta_pooled_cvs(
@@ -638,6 +648,7 @@ def delta_pooled_cvs(
     interpret: bool = False,
     variant: str = "auto",
     emit_o2: bool = True,
+    store_r2: int | None = None,
 ) -> dict[int, jnp.ndarray]:
     """Pooled cost volumes per sub-block size, s = bs // cur.
 
@@ -696,8 +707,17 @@ def delta_pooled_cvs(
         params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
         patches_in = patches_t.reshape(bs, q4, 4, n).transpose(2, 0, 1, 3)
         wplanes = wslab.reshape(win, cols // 4, 4, n).transpose(2, 0, 1, 3)
+        if store_r2 is None:
+            o2_side = side
+        else:
+            # dx-restricted cur=2 store (see _diff_kernel_static: a
+            # dy-restricted store needs a clamped output index_map, which
+            # hangs this backend's compiler)
+            assert 0 <= store_r2 < r, (store_r2, r)
+            o2_side = 2 * store_r2 + 1
+
         out_specs = [
-            pl.BlockSpec((s2 // 2, 2, 2, 1, 1, side, s2 // 2, cb),
+            pl.BlockSpec((s2 // 2, 2, 2, 1, 1, o2_side, s2 // 2, cb),
                          lambda i, j: (0, 0, 0, i, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((q4 // 2, 2, 2, 1, 1, side, q4 // 2, cb),
@@ -706,7 +726,7 @@ def delta_pooled_cvs(
         ]
         out_shape = [
             jax.ShapeDtypeStruct(
-                (s2 // 2, 2, 2, nch, side, side, s2 // 2, cb),
+                (s2 // 2, 2, 2, nch, side, o2_side, s2 // 2, cb),
                 cv_dtype(2, cost),
             ),
             jax.ShapeDtypeStruct(
@@ -719,7 +739,7 @@ def delta_pooled_cvs(
         outs = pl.pallas_call(
             functools.partial(
                 _diff_kernel_static, bs=bs, ext=ext, r=r, cost=cost,
-                emit_o2=emit_o2,
+                emit_o2=emit_o2, store_r2=store_r2,
             ),
             grid=(nch, side),
             in_specs=[

@@ -638,6 +638,234 @@ def _kernel_pm_hybrid(
     out_ref[0, 1] = ny
 
 
+def _kernel_pm_hybrid_tail(
+    sc_ref,        # (4,) i32 prefetch: [color, ci, cj, row0_b]
+    lam_ref,       # (1, 1) f32 SMEM
+    cv_ref,        # (s2, 1, 1, 1, side, side_st, s2, 128): dx-RESTRICTED CV
+    patches_ref,   # (1, 4, bs, bs//4, 128) i16 x-parity planes
+    wslab_ref,     # (1, 4, win, cols//4, 128) i16 MAIN window planes
+    rwslab_ref,    # (1, 4, rwin, rcols//4, 128) i16 rival window planes
+    cands_ref,     # (1, 9, 2, s2, s2, 128) i32
+    pm_ref,        # (1, 2, 128) i32 window-center MVs
+    rpm_ref,       # (1, 2, 128) i32 rival-center MVs
+    present_ref,   # (1, 1, 9, s2, s2, 128) i32
+    rank_ref,      # (1, 1, 9, s2, s2, 128) i32
+    oy_ref,        # (1, 1, s2, 1, 128) i32
+    ox_ref,        # (1, 1, s2, 128) i32
+    out_ref,       # (1, 2, s2, s2, 128) i32
+    acc_ref,       # scratch (9, s2, s2, 128) i32
+    *,
+    r_st: int,     # stored-CV radius (cv holds only |delta| <= r_st)
+    r: int,        # full window radius (candidates evaluable to here)
+    bs: int,
+    ext: int,
+    r2: int,
+    cur: int,
+    cost: str,
+    full_h: int,
+    full_w: int,
+):
+    """r_store step: dense pick from the dx-RESTRICTED cur=2 volume + slab
+    recompute for BOTH the stored-band tail (in-window candidates with
+    |dx-delta| beyond r_st, against the main window slab) and the rival
+    window.
+
+    The cur=2 volume is the pipeline's HBM dominator (~1.2 GB/field
+    written + streamed twice); storing only |dx-delta| <= r_st keeps
+    (2*r_st+1) / (2*r+1) of it while staying BIT-EXACT: out-of-band
+    candidates are recomputed from the same window pixels the volume was
+    built from (usually an empty bbox - after the search, candidate
+    deltas cluster well inside r_st except at motion discontinuities).
+    Only the COLUMN delta is restricted: the build kernel's dy is a grid
+    dim, and a dy-restricted store needs a clamped output index_map,
+    which hangs this backend's compiler (r4 probe).
+    """
+    side_st = 2 * r_st + 1
+    side_full = 2 * r + 1
+    side2 = 2 * r2 + 1
+    ci = sc_ref[1]
+    cj = sc_ref[2]
+    cands = cands_ref[0]
+    cx, cy = cands[:, 0], cands[:, 1]
+    pm = pm_ref[0]
+    rpm = rpm_ref[0]
+    present = present_ref[0, 0]
+    rank = rank_ref[0, 0]
+    lam = lam_ref[0, 0]
+
+    ddx = cx - pm[0][None, None, None]
+    ddy = cy - pm[1][None, None, None]
+    in_window = (ddx >= -r) & (ddx <= r) & (ddy >= -r) & (ddy <= r)
+    in_stored = in_window & (ddx >= -r_st) & (ddx <= r_st)
+    key_s = jnp.where(in_stored, (ddy + r) * side_st + (ddx + r_st), -1)
+    key_t = jnp.where(
+        in_window & ~in_stored, (ddy + r) * side_full + (ddx + r), -1
+    )
+    rdx = cx - rpm[0][None, None, None]
+    rdy = cy - rpm[1][None, None, None]
+    in_rival = (rdx >= -r2) & (rdx <= r2) & (rdy >= -r2) & (rdy <= r2)
+    key_r = jnp.where(
+        in_rival & ~in_window, (rdy + r2) * side2 + (rdx + r2), -1
+    )
+
+    # stored band: dense CV one-hot pick over the in-band candidate bbox
+    bound_s = in_stored & (present != 0)
+    ymin = jnp.min(jnp.where(bound_s, ddy, _I32_BIG))
+    ymax = jnp.max(jnp.where(bound_s, ddy, -_I32_BIG))
+    xmin = jnp.min(jnp.where(bound_s, ddx, _I32_BIG))
+    xmax = jnp.max(jnp.where(bound_s, ddx, -_I32_BIG))
+    acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.int32)
+
+    def pick_row(dy, _):
+        def pick_col(dx, __):
+            s = (dy + r) * side_st + (dx + r_st)
+            v = cv_ref[:, 0, 0, 0, dy + r, dx + r_st].astype(jnp.int32)
+            acc_ref[...] = jnp.where(key_s == s, v[None], acc_ref[...])
+            return 0
+
+        jax.lax.fori_loop(xmin, xmax + 1, pick_col, 0)
+        return 0
+
+    jax.lax.fori_loop(ymin, ymax + 1, pick_row, 0)
+
+    bp = [patches_ref[0, p].astype(jnp.int32) for p in range(4)]
+
+    # stored-band tail: main-window candidates beyond r_st, recomputed
+    # against the MAIN slab (empty bbox on smooth tiles)
+    bound_t = (key_t >= 0) & (present != 0)
+    tymin = jnp.min(jnp.where(bound_t, ddy, _I32_BIG)) + r
+    tymax = jnp.max(jnp.where(bound_t, ddy, -_I32_BIG)) + r
+    txmin = jnp.min(jnp.where(bound_t, ddx, _I32_BIG)) + r
+    txmax = jnp.max(jnp.where(bound_t, ddx, -_I32_BIG)) + r
+    _accumulate_bbox(
+        acc_ref, wslab_ref, bp, key_t, tymin, tymax, txmin, txmax,
+        bs=bs, ext=ext, r=r, side=side_full, cur=cur, cost=cost,
+        ci=ci, cj=cj,
+    )
+
+    # rival window: slab recompute, empty bbox on smooth tiles
+    bound_r = (key_r >= 0) & (present != 0)
+    rymin = jnp.min(jnp.where(bound_r, rdy, _I32_BIG)) + r2
+    rymax = jnp.max(jnp.where(bound_r, rdy, -_I32_BIG)) + r2
+    rxmin = jnp.min(jnp.where(bound_r, rdx, _I32_BIG)) + r2
+    rxmax = jnp.max(jnp.where(bound_r, rdx, -_I32_BIG)) + r2
+    _accumulate_bbox(
+        acc_ref, rwslab_ref, bp, key_r, rymin, rymax, rxmin, rxmax,
+        bs=bs, ext=r2, r=r2, side=side2, cur=cur, cost=cost, ci=ci, cj=cj,
+    )
+    costs = acc_ref[...]
+
+    tx = ox_ref[0, 0][None, None] + cx
+    ty = oy_ref[0, 0][None] + cy
+    in_img = (
+        (tx >= 0) & (tx <= full_w - cur) & (ty >= 0) & (ty <= full_h - cur)
+    )
+    nx, ny = _finish_step(
+        cx, cy, costs, present, rank, lam, in_window | in_rival, in_img
+    )
+    out_ref[0, 0] = nx
+    out_ref[0, 1] = ny
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "r_st", "r", "bs", "ext", "r2", "cur", "cost", "full_h", "full_w",
+        "interpret",
+    ),
+)
+def windowed_color_step_pm_hybrid_tail(
+    scalars: jnp.ndarray,         # (4,) i32 [color, ci, cj, row0_b]
+    lam_mult: jnp.ndarray,        # f32 scalar
+    cv_pm: jnp.ndarray,           # (f//2, 2, 2, nch, side, side_st, s2, 128)
+    patches_pl: jnp.ndarray,      # (nch, 4, bs, bs//4, 128) i16
+    wslab: jnp.ndarray,           # (nch, 4, win, cols//4, 128) i16 MAIN slab
+    rwslab: jnp.ndarray,          # (nch, 4, rwin, rcols//4, 128) i16
+    cands_pm: jnp.ndarray,        # (nch, 9, 2, s2, s2, 128) i32
+    pm_lane: jnp.ndarray,         # (nch, 2, 128) i32
+    rpm_lane: jnp.ndarray,        # (nch, 2, 128) i32
+    present_pm: jnp.ndarray,      # (4, nch, 9, s2, s2, 128) i32
+    rank_pm: jnp.ndarray,         # (4, nch, 9, s2, s2, 128) i32
+    oy_cell: jnp.ndarray,         # (4, nch, s2, 1, 128) i32
+    ox_cell: jnp.ndarray,         # (4, nch, s2, 128) i32
+    r_st: int,
+    r: int,
+    bs: int,
+    ext: int,
+    r2: int,
+    cur: int,
+    cost: str,
+    full_h: int,
+    full_w: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(nch, 2, s2, s2, 128) i32 winners: dx-restricted dense CV +
+    main-tail and rival slab recomputes (the r_store traffic mode)."""
+    side = 2 * r + 1
+    side_st = 2 * r_st + 1
+    s2, npp = cv_pm.shape[6], cv_pm.shape[3] * 128
+    win, cols4 = wslab.shape[2], wslab.shape[3]
+    rwin, rcols4 = rwslab.shape[2], rwslab.shape[3]
+    q4 = bs // 4
+    grid = (npp // 128,)
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, sc: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((s2, 1, 1, 1, side, side_st, s2, 128),
+                         lambda i, sc: (0, sc[1], sc[2], i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, bs, q4, 128), lambda i, sc: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, win, cols4, 128),
+                         lambda i, sc: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, rwin, rcols4, 128),
+                         lambda i, sc: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, 2, s2, s2, 128),
+                         lambda i, sc: (i, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 128), lambda i, sc: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 128), lambda i, sc: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 9, s2, s2, 128),
+                         lambda i, sc: (sc[0], i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 9, s2, s2, 128),
+                         lambda i, sc: (sc[0], i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s2, 1, 128), lambda i, sc: (sc[0], i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s2, 128), lambda i, sc: (sc[0], i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, s2, s2, 128), lambda i, sc: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((9, s2, s2, 128), jnp.int32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_pm_hybrid_tail, r_st=r_st, r=r, bs=bs, ext=ext, r2=r2,
+            cur=cur, cost=cost, full_h=full_h, full_w=full_w,
+        ),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((npp // 128, 2, s2, s2, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(scalars, jnp.reshape(lam_mult.astype(jnp.float32), (1, 1)), cv_pm,
+      patches_pl, wslab, rwslab, cands_pm, pm_lane, rpm_lane, present_pm,
+      rank_pm, oy_cell, ox_cell)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

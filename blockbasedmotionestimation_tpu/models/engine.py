@@ -43,13 +43,15 @@ def transfer_mvs(dense_coarse: jnp.ndarray, coarse_bs: int, fine_bs: int) -> jnp
     origin-grid cells the fine blocks read.
     """
     hc, wc = dense_coarse.shape[:2]
-    if hc * wc > 4_000_000:
+    if hc * wc > 1_000_000:
         # reshape-then-index, NOT a double-strided slice: XLA:TPU
         # miscompiles [::k, ::k] slices of LARGE 4-byte arrays into a
         # device kernel fault (DESIGN.md section 8a; standalone repro:
-        # scripts/tpu_strided_slice_repro.py).  Applied only above the
-        # measured ~20 MB envelope - below it the plain slice fuses better
-        # (the unconditional form regressed the 1080p bench into HBM OOM).
+        # scripts/tpu_strided_slice_repro.py).  The threshold is PER-FRAME
+        # but vmap batches the lowered op, so the 4M bound that protected
+        # single frames still crashed 4K at B=8 (r4): 1M keeps every
+        # 1080p instance (0.65M, where the plain slice fuses better) on
+        # the fast form while pushing all >=4K instances to the safe one.
         sampled = dense_coarse.reshape(
             hc // coarse_bs, coarse_bs, wc // coarse_bs, coarse_bs, 2
         )[:, 0, :, 0] * jnp.float32(2.0)
@@ -85,6 +87,7 @@ def _run_level(
             cost=cfg.cost, impl=cfg.search_impl, rival=cfg.rival_window,
             rival_radius=cfg.rival_radius, compact=cfg.cv_compact,
             compact_ring=cfg.cv_compact_ring, fuse=cfg.cv_fused,
+            store_radius=cfg.cv_store_radius,
         )
     grid = block_search_level(
         im1, im2, pred, bs, ss, impl=cfg.search_impl, order=cfg.search_order,

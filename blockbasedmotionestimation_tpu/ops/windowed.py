@@ -205,6 +205,7 @@ def _all_round_cvs_pallas(
     cost: str,
     interpret: bool,
     emit_o2: bool = True,
+    store_r2: int | None = None,
 ) -> dict[int, jnp.ndarray]:
     """All subdivision sizes' cost volumes from one Pallas pass.
 
@@ -222,7 +223,7 @@ def _all_round_cvs_pallas(
     windows_t = windows.reshape(n_p, wside, wside).transpose(1, 2, 0)
     return delta_pooled_cvs(
         patches_t, windows_t, bs, ext, r, cost, interpret=interpret,
-        emit_o2=emit_o2,
+        emit_o2=emit_o2, store_r2=store_r2,
     )
 
 
@@ -278,6 +279,7 @@ def _pallas_round_pm(
         windowed_color_step_pm_fused,
         windowed_color_step_pm_fused_rival,
         windowed_color_step_pm_hybrid,
+        windowed_color_step_pm_hybrid_tail,
     )
     from blockbasedmotionestimation_tpu.kernels.reg_step import (
         windowed_color_step_pm,
@@ -448,7 +450,19 @@ def _pallas_round_pm(
                 ]
             )
             if fused_in is not None:
-                if hybrid_rival:
+                if hybrid_rival and cur == 2 and "wslab_tail" in fused_in:
+                    # r_store round: the cur=2 volume holds only
+                    # |delta| <= store_r; the tail recomputes from the
+                    # main slab (kernels/fused_step._kernel_pm_hybrid_tail)
+                    new_mv = windowed_color_step_pm_hybrid_tail(
+                        sc, lam_mult, cv_in, fused_in["patches_pl"],
+                        fused_in["wslab_tail"], fused_in["rwslab"], cands,
+                        pm_lane, rpm_lane, present_pm, rank_pm, oy_cell,
+                        ox_cell, fused_in["store_r"], r, bs,
+                        fused_in["ext"], r2, cur, fused_in["cost"], h, w,
+                        interpret=interp,
+                    )
+                elif hybrid_rival:
                     new_mv = windowed_color_step_pm_hybrid(
                         sc, lam_mult, cv_in, fused_in["patches_pl"],
                         fused_in["rwslab"], cands, pm_lane, rpm_lane,
@@ -1085,6 +1099,7 @@ def windowed_level(
     compact_ring: int = 3,
     fuse: int | None = None,
     cell_exchange=None,
+    store_radius: int | None = None,
 ) -> jnp.ndarray:
     """Fused block search + windowed regularization from ONE cost volume.
 
@@ -1158,6 +1173,7 @@ def windowed_level(
     )
 
     impl = _resolve_impl(impl)
+    eff_store = None
     use_compact = (
         compact is not None
         and impl in ("pallas", "pallas_interpret")
@@ -1215,9 +1231,26 @@ def windowed_level(
                 "ext": ext, "cost": cost,
             }
         else:
+            # r_store (cv_store_radius): store the cur=2 volume - the
+            # pipeline's HBM dominator - only for |delta| <= store_radius;
+            # out-of-band candidates are recomputed from the main window
+            # slab by the hybrid tail kernel.  Bit-exact; only legal when
+            # the hybrid rival path will consume it.
+            eff_store = store_radius
+            if eff_store is not None and not (
+                rival
+                and bs % 8 == 0
+                and bs >= 8
+                and (untiled or cell_exchange is not None)
+                and not use_compact
+                and 0 <= eff_store < ext
+                and not _os.environ.get("BBME_NO_HYBRID")
+            ):
+                eff_store = None
             cvs_pallas = _all_round_cvs_pallas(
                 patches1, windows, bs, ext, ext, cost,
                 interpret=(impl == "pallas_interpret"),
+                store_r2=eff_store,
             )
         # cur == bs volume: (side, side, 1, 1, nPad) unsplit layout
         sad_flat = cvs_pallas[bs].reshape(side * side, -1).astype(jnp.int32)
@@ -1357,6 +1390,18 @@ def windowed_level(
             fused_in = {
                 "patches_pl": f_patches, "rwslab": f_rwslab, "cost": cost,
             }
+            if eff_store is not None:
+                # r_store: the cur=2 rounds also need the MAIN window slab
+                # to recompute in-window candidates beyond store_radius
+                wside_m = windows.shape[3]
+                windows_tt = (
+                    windows.reshape(nblk, wside_m, wside_m).transpose(1, 2, 0)
+                )
+                fused_in["wslab_tail"] = prep_slabs(
+                    patches_tt, windows_tt, bs, ext, ext
+                )[1]
+                fused_in["store_r"] = eff_store
+                fused_in["ext"] = ext
             fuse_eff = hyb_fuse
         elif cvs_pallas is not None:
             rcvs_pallas = _all_round_cvs_pallas(

@@ -265,6 +265,7 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
                 rival=cfg.rival_window, rival_extend=rival_extend,
                 rival_radius=cfg.rival_radius, fuse=cfg.cv_fused,
                 cell_exchange=cell_exchange,
+                store_radius=cfg.cv_store_radius,
             )
 
         grid = block_search_level(
