@@ -95,6 +95,22 @@ def main() -> int:
         base = synth.textured_image(128, 160, rng)
         im1 = base[:96, :128]
         im2 = base[4:100, 3:131]
+    elif scenario == "rstore":
+        # r4 r_store mode: the cur=2 volume stored only for a reduced
+        # column-delta band; tail candidates recomputed from the main
+        # window slab (kernels/fused_step._kernel_pm_hybrid_tail).
+        # Urban2 GT geometry so motion discontinuities actually push
+        # candidates outside the band.
+        cfg_dense = MotionConfig(
+            block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
+            regularizer="windowed", search_impl="pallas_interpret",
+            rival_window=True, rival_radius=4,
+        )
+        cfg_fused = cfg_dense.replace(cv_store_radius=4)
+        gt = flowio.read_flo(
+            "/root/reference/middlebury/gt-flow/Urban2/flow10.flo"
+        )[:64, :96]
+        im1, im2 = synth.pair_from_gt(gt, rng)
     elif scenario in ("tiled_cell_rounds", "tiled_cell_rounds_fused"):
         # r4: row-tiled strips run the parent-major cell-layout rounds
         # (and, with cv_fused, the chunk-fused/hybrid kernels); neighbor

@@ -358,3 +358,11 @@ def test_chunk_fused_rival_equals_dense():
     # fused + rival composition: the rival slab recompute must match the
     # dense rival cost volumes bit for bit, on real flow geometry
     _run_isolated("chunk_fused_rival")
+
+
+def test_rstore_equals_dense():
+    # r_store (cv_store_radius): dx-restricted cur=2 volume + slab-
+    # recomputed tail must be bit-identical to the dense path on real
+    # discontinuity geometry (heap-isolated: large interpret compiles,
+    # DESIGN.md section 8b)
+    _run_isolated("rstore")
