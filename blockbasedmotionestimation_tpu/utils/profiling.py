@@ -159,11 +159,15 @@ def windowed_pipeline_roofline(
 
         # CV build: diff+pool VPU ops + all volumes written once
         add("cv_build", vpu_ops=4 * side2 * h * w)
+        store = getattr(cfg, "cv_store_radius", None)
         cur = bs
         while cur >= 2:
             peak = (255 * 255 if cfg.cost == "ssd" else 255) * cur * cur
             nbytes = 2 if peak < (1 << 16) else 4
             entries = side2 * (h // cur) * (w // cur)
+            if cur == 2 and store is not None and store < ext:
+                # r_store: the cur=2 volume keeps a dx band only
+                entries = entries * (2 * store + 1) // side
             add("cv_build", hbm_bytes=entries * nbytes)
             if cur < bs:
                 # each sweep's 4 colors stream the round's volume once
