@@ -111,7 +111,10 @@ def main() -> int:
             "/root/reference/middlebury/gt-flow/Urban2/flow10.flo"
         )[:64, :96]
         im1, im2 = synth.pair_from_gt(gt, rng)
-    elif scenario in ("tiled_cell_rounds", "tiled_cell_rounds_fused"):
+    elif scenario in (
+        "tiled_cell_rounds", "tiled_cell_rounds_fused",
+        "tiled_cell_rounds_rstore",
+    ):
         # r4: row-tiled strips run the parent-major cell-layout rounds
         # (and, with cv_fused, the chunk-fused/hybrid kernels); neighbor
         # MVs cross tiles only through the per-step ghost-row ppermute
@@ -126,6 +129,7 @@ def main() -> int:
             regularizer="windowed", rival_window=True,
             search_impl="pallas_interpret",
             cv_fused=4 if scenario.endswith("fused") else None,
+            cv_store_radius=2 if scenario.endswith("rstore") else None,
         )
         h, w, t = 256, 64, 8
         assert tiled.im2_halo(cfg, 0) < h // t  # both levels must shard

@@ -333,7 +333,7 @@ def test_tiled_2d_coarse_fallback(rng):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("fused", ["", "_fused"])
+@pytest.mark.parametrize("fused", ["", "_fused", "_rstore"])
 def test_tiled_pallas_cell_rounds_equal_untiled(fused):
     # row-tiled strips now run the PARENT-MAJOR cell-layout rounds (and,
     # with cv_fused, the chunk-fused/hybrid kernels): neighbor-tile MVs
