@@ -55,6 +55,14 @@ dev_rate = iters * B / (time.time() - t0)
 print(f"device-only rate: {dev_rate:.2f} fields/s", flush=True)
 
 for stride, dt in ((1, "f32"), (2, "f16"), (4, "f16")):
+    # warm-up pass: the per-stride _shrink program costs a remote compile
+    # that must not sit inside the timed region
+    warm = tempfile.mkdtemp(prefix=f"seq4k_warm{stride}_")
+    sequence.run_sequence(
+        frames[: B + 1], warm, cfg, batch_size=B, out_stride=stride,
+        transfer_dtype=dt, write_report=False,
+    )
+    shutil.rmtree(warm, ignore_errors=True)
     out = tempfile.mkdtemp(prefix=f"seq4k_s{stride}_")
     t0 = time.time()
     sequence.run_sequence(
