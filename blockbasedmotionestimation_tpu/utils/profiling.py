@@ -194,6 +194,10 @@ def windowed_pipeline_roofline(
                 # hybrid kernel streams patches + rival slab every step
                 add("rival",
                     hbm_bytes=steps * nblk * (bs * bs + rwin * rwin) * 2)
+            if cur == 2 and store is not None and store < ext:
+                # r_store: the cur=2 steps also stream the MAIN window
+                # slab for the tail recompute
+                add("rival", hbm_bytes=steps * nblk * win * win * 2)
             cur >>= 1
             add("mv_bookkeeping", hbm_bytes=2 * cells * 8)
 
