@@ -366,81 +366,132 @@ def _pallas_round_pm(
         dtype=jnp.float32,
     )
 
-    # The whole round runs on a CELL-LAYOUT grid (2, f, f, nP): neighbor
-    # candidates become sub-index shifts plus minor-axis lane rolls at
-    # parent boundaries, so no step ever transposes a slab-layout tensor
-    # (XLA transposes whose minor dim changes run ~10x under copy speed
-    # and dominated this round at ~20 ms/step).  Out-of-frame wrap
-    # artifacts from the rolls are masked by the per-color presence masks,
-    # which use global coordinates.
+    # The whole round runs on FOUR COLOR PLANES, each already in the
+    # chunk-major layout the color-step kernels consume and produce:
+    # planes[(rc, cc)] = cells at rows rc::2, cols cc::2 as
+    # (nch, 2, s2, s2, 128).  Neighbor candidates become plane picks plus
+    # small row/column boundary concats with chunk-dim rolls standing in
+    # for flattened-lane rolls, so a color step materializes ONLY the
+    # stacked candidate tensor — no per-step chunk-major transpose, no
+    # padding pass, and the winner write-back is a plain plane
+    # replacement instead of a dynamic-update-slice copy of the whole
+    # cell grid (these were the dominant share of the ~5.7 ms/field
+    # xla_glue term in FLOOR.md).  Out-of-frame / pad-lane wrap
+    # artifacts from the rolls are masked by the per-color presence
+    # masks, which use global coordinates.
+    nch = npp // 128
     gcell = (
         grid.reshape(npy, f, npx, f, 2)
         .transpose(4, 1, 3, 0, 2)
         .reshape(2, f, f, n_p)
         .astype(jnp.int32)
     )
+    planes = {
+        (rc, cc): chunk_major(padp(gcell[:, rc::2, cc::2, :]), 0)
+        for rc in (0, 1)
+        for cc in (0, 1)
+    }
+
+    def lane_roll_cm(x, s):
+        """roll of the flattened (padded) lane axis of a chunk-major
+        tensor by s: a chunk-dim roll plus a static two-piece lane concat
+        (minor dim stays 128 throughout)."""
+        s = s % npp
+        q, t = divmod(s, 128)
+        y = jnp.roll(x, q, axis=0) if q else x
+        if t:
+            yl = jnp.roll(y, 1, axis=0)
+            y = jnp.concatenate([yl[..., 128 - t :], y[..., : 128 - t]], axis=-1)
+        return y
+
+    def _cm_to_flat(x):
+        # (nch, ..., 128) -> (..., npp); minor dim unchanged (copy-speed)
+        return jnp.moveaxis(x, 0, -2).reshape(*x.shape[1:-1], npp)
+
+    def _flat_to_cm(x):
+        y = x.reshape(*x.shape[:-1], nch, 128)
+        return jnp.moveaxis(y, -2, 0)
+
+    def _vsplit(v):
+        # cell shift v in {-1, 0, 1, 2} -> (plane color, plane-row shift)
+        return v % 2, (-1 if v == -1 else (1 if v == 2 else 0))
 
     # The scan runs over SWEEPS with the 4 color steps statically unrolled:
-    # with ci/cj as Python constants the sub-index shifts below are plain
+    # with ci/cj as Python constants the plane picks below are plain
     # static slices (no lax.switch per candidate: the conds alone measured
-    # ~2 ms/field) and the winner write-back is a static-start update.
-    def shift_y(gc, t):
-        # rows sy_src = 2*syy + t of the f sy-cells, t in {-1, 0, 1, 2};
-        # crossing a parent boundary is a lane roll by +-npx
-        gr = gc.reshape(2, s2, 2, f, n_p)
-        if t == -1:
-            top = jnp.roll(gc[:, f - 1], npx, axis=-1)[:, None]
-            return jnp.concatenate([top, gr[:, : s2 - 1, 1]], axis=1)
-        if t == 0:
-            return gr[:, :, 0]
-        if t == 1:
-            return gr[:, :, 1]
-        bot = jnp.roll(gc[:, 0], -npx, axis=-1)[:, None]
-        return jnp.concatenate([gr[:, 1:, 0], bot], axis=1)
+    # ~2 ms/field).
+    def _rowshift(p, rsh, ghost=None):
+        # rows r' = r + rsh of a plane; crossing a parent boundary is a
+        # flattened-lane roll by -+npx.  ghost (2, s2, npx): the
+        # neighbor-tile boundary cell row overwriting the roll's wrap at
+        # the tile's first/last parent row (row-tiled mode).
+        if rsh == 0:
+            return p
+        if rsh == -1:
+            row = lane_roll_cm(p[:, :, s2 - 1 : s2], npx)
+        else:
+            row = lane_roll_cm(p[:, :, 0:1], -npx)
+        if ghost is not None:
+            rf = _cm_to_flat(row)  # (2, 1, s2, npp)
+            at = 0 if rsh == -1 else n_p - npx
+            rf = jax.lax.dynamic_update_slice(rf, ghost[:, None], (0, 0, 0, at))
+            row = _flat_to_cm(rf)
+        if rsh == -1:
+            return jnp.concatenate([row, p[:, :, : s2 - 1]], axis=2)
+        return jnp.concatenate([p[:, :, 1:], row], axis=2)
 
-    def shift_x(ys, u):
-        # cols sx_src = 2*sxx + u; parent crossing is a lane roll by +-1
-        gr = ys.reshape(2, s2, s2, 2, n_p)
-        if u == -1:
-            left = jnp.roll(ys[:, :, f - 1], 1, axis=-1)[:, :, None]
-            return jnp.concatenate([left, gr[:, :, : s2 - 1, 1]], axis=2)
-        if u == 0:
-            return gr[:, :, :, 0]
-        if u == 1:
-            return gr[:, :, :, 1]
-        right = jnp.roll(ys[:, :, 0], -1, axis=-1)[:, :, None]
-        return jnp.concatenate([gr[:, :, 1:, 0], right], axis=2)
+    def _colshift(p, csh):
+        # cols c' = c + csh; parent crossing is a flattened-lane roll +-1
+        if csh == 0:
+            return p
+        if csh == -1:
+            col = lane_roll_cm(p[:, :, :, s2 - 1 : s2], 1)
+            return jnp.concatenate([col, p[:, :, :, : s2 - 1]], axis=3)
+        col = lane_roll_cm(p[:, :, :, 0:1], -1)
+        return jnp.concatenate([p[:, :, :, 1:], col], axis=3)
 
-    def sweep_body(gc, lam_mult):
+    def _edge_row(pl, rc, sy, lo, hi):
+        # one global cell row (2, f, hi-lo) re-interleaved from the two
+        # column-color planes at plane row sy, flat lanes [lo, hi)
+        es = [
+            _cm_to_flat(pl[(rc, cc)][:, :, sy])[..., lo:hi] for cc in (0, 1)
+        ]
+        return jnp.stack(es, axis=2).reshape(2, f, hi - lo)
+
+    def sweep_body(pl, lam_mult):
         for ci, cj in _COLORS:
+            from_north = from_south = None
             if cell_exchange is not None:
                 # refresh the cross-tile ghost rows BEFORE this color step:
                 # send my first real cell row north / last south, receive
                 # the neighbors' boundary rows
-                top_edge = gc[:, 0, :, :npx]           # (2, f, npx)
-                bot_edge = gc[:, f - 1, :, n_p - npx:]
+                top_edge = _edge_row(pl, 0, 0, 0, npx)           # (2, f, npx)
+                bot_edge = _edge_row(pl, 1, s2 - 1, n_p - npx, n_p)
                 from_north, from_south = cell_exchange(top_edge, bot_edge)
-            ys_by_dy = {dy: shift_y(gc, ci + dy) for dy in (-1, 0, 1)}
-            if cell_exchange is not None:
-                # overwrite shift_y's lane-roll wrap at the tile's first
-                # (t == -1 reads the parent-above's cell row f-1) and last
-                # (t == 2 reads the parent-below's cell row 0) parent rows
-                t_up, t_dn = ci - 1, ci + 1
-                if t_up == -1:
-                    ys = ys_by_dy[-1]  # (2, s2, f, nP); row 0 <- ghost
-                    ys_by_dy[-1] = jax.lax.dynamic_update_slice(
-                        ys, from_north[:, None], (0, 0, 0, 0)
+            ys = {}
+            for t in (ci - 1, ci, ci + 1):
+                rc, rsh = _vsplit(t)
+                # t == -1 reads the parent-above's cell row f-1, t == 2 the
+                # parent-below's row 0: in row-tiled mode the received
+                # ghost row overwrites the roll's wrap there
+                ghost = from_north if t == -1 else (
+                    from_south if t == 2 else None
+                )
+                ys[t] = tuple(
+                    _rowshift(
+                        pl[(rc, cc)], rsh,
+                        None if ghost is None else ghost[:, cc::2, :],
                     )
-                if t_dn == 2:
-                    ys = ys_by_dy[1]   # last row <- ghost
-                    ys_by_dy[1] = jax.lax.dynamic_update_slice(
-                        ys, from_south[:, None], (0, s2 - 1, 0, n_p - npx)
-                    )
+                    for cc in (0, 1)
+                )
             cands = jnp.stack(
-                [shift_x(ys_by_dy[dy], cj + dx) for dy, dx in reg.SLOTS],
-                axis=0,
-            )  # (9, 2, s2, s2, nP)
-            cands = chunk_major(padp(cands), 0)
+                [
+                    _colshift(ys[ci + dy][_vsplit(cj + dx)[0]],
+                              _vsplit(cj + dx)[1])
+                    for dy, dx in reg.SLOTS
+                ],
+                axis=1,
+            )  # (nch, 9, 2, s2, s2, 128) — the kernels' native layout
             sc = jnp.stack(
                 [
                     jnp.asarray(2 * ci + cj, jnp.int32),
@@ -501,18 +552,20 @@ def _pallas_round_pm(
                     sc, lam_mult, cv_in, cands, pm_lane, present_pm, rank_pm,
                     oy_cell, ox_cell, side, r, cur, h, w, interpret=interp,
                 )
-            # chunk-major (nch, 2, s2, s2, 128) back to lane-minor cell grid
-            nm = jnp.moveaxis(new_mv, 0, -2).reshape(2, s2, s2, npp)[..., :n_p]
-            grc = gc.reshape(2, s2, 2, s2, 2, n_p)
-            grc = jax.lax.dynamic_update_slice(
-                grc, nm[:, :, None, :, None, :], (0, 0, ci, 0, cj, 0)
-            )
-            gc = grc.reshape(2, f, f, n_p)
-        return gc, None
+            # the kernel's output IS the updated plane — no write-back copy
+            pl = dict(pl)
+            pl[(ci, cj)] = new_mv
+        return pl, None
 
-    gcell, _ = jax.lax.scan(sweep_body, gcell, lam_sweeps)
+    planes, _ = jax.lax.scan(sweep_body, planes, lam_sweeps)
+    pf = {k: _cm_to_flat(v)[..., :n_p] for k, v in planes.items()}
+    g6 = jnp.stack(
+        [jnp.stack([pf[(rc, 0)], pf[(rc, 1)]], axis=0) for rc in (0, 1)],
+        axis=0,
+    )  # (rc, cc, 2, s2, s2, nP)
     return (
-        gcell.reshape(2, f, f, npy, npx)
+        g6.transpose(2, 3, 0, 4, 1, 5)
+        .reshape(2, f, f, npy, npx)
         .transpose(3, 1, 4, 2, 0)
         .reshape(nby, nbx, 2)
         .astype(jnp.float32)
