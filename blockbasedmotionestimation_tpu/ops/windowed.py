@@ -386,8 +386,12 @@ def _pallas_round_pm(
         .reshape(2, f, f, n_p)
         .astype(jnp.int32)
     )
+    # reshape-then-index, NOT [rc::2, cc::2]: XLA:TPU miscompiles large
+    # double-strided 4-byte slices (DESIGN.md section 8a), and vmap
+    # batches this op across the frame batch
+    gcell6 = gcell.reshape(2, s2, 2, s2, 2, n_p)
     planes = {
-        (rc, cc): chunk_major(padp(gcell[:, rc::2, cc::2, :]), 0)
+        (rc, cc): chunk_major(padp(gcell6[:, :, rc, :, cc, :]), 0)
         for rc in (0, 1)
         for cc in (0, 1)
     }
