@@ -9,7 +9,10 @@ production config: rival windows close the windowed-vs-fourcolor gap at
 motion discontinuities (EVAL_full.md: 0.0188 mean-EPE gap at r8 vs 0.0953
 without), and the hybrid rival kernel (dense main CV + slab-recomputed
 rival candidates, kernels/fused_step.py) runs it at B=8 with no second
-cost volume.
+cost volume.  The config default also enables r_store (cv_store_radius=8):
+the cur=2 volume keeps only a reduced column-delta band, tail candidates
+recomputed bit-exactly from the window slab (measured bit-equal to dense,
+scripts/tpu_rstore_bench.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 

@@ -38,7 +38,10 @@ def _cfg_from_args(args) -> "MotionConfig":
         mv_cap=args.mv_cap,
         cv_compact=args.cv_compact,
         cv_fused=args.cv_fused,
-        cv_store_radius=args.cv_store_radius,
+        cv_store_radius=(
+            None if args.cv_store_radius is not None and args.cv_store_radius < 0
+            else args.cv_store_radius
+        ),
     )
 
 
@@ -69,11 +72,13 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
                         "sub-block sizes <= this in-kernel from VMEM window "
                         "slabs instead of materializing their dense cost "
                         "volumes (bit-exact; typical value 4)")
-    p.add_argument("--cv-store-radius", type=int, default=None,
+    p.add_argument("--cv-store-radius", type=int, default=8,
                    help="r_store: keep only a reduced column-delta band of "
                         "the cur=2 cost volume (the HBM dominator) and "
                         "recompute tail candidates bit-exactly from the "
-                        "window slab (hybrid rival path only)")
+                        "window slab (hybrid rival path only; bit-exact). "
+                        "Default 8 (the production config); pass a "
+                        "negative value for the dense volume")
 
 
 def cmd_estimate(args) -> int:

@@ -117,7 +117,10 @@ class MotionConfig:
         (same window pixels, same pooling); after the search, candidate
         deltas cluster well inside the radius except at motion
         discontinuities, so the recompute bboxes are usually empty.
-        None = dense (full radius).  Ignored outside the hybrid path.
+        None = dense (full radius).  Ignored outside the hybrid path
+        (the mode self-gates and falls back to the dense volume).
+        Default 8: measured bit-equal to dense and ~8% faster at the
+        1080p B=8 production bench (``scripts/tpu_rstore_bench.py``).
       window_center: ``windowed`` mode only.  ``pred`` (default) centers the
         per-parent windows on the truncated prediction - the spiral search's
         own center (``motion_framework.cpp:233-234``) - so ONE pooled
@@ -136,8 +139,9 @@ class MotionConfig:
     cost: CostKind = "sad"
     # the production default IS what bench.py and the README run: windowed
     # scheduling with rival windows at radius 8 (mean-EPE gap to unrestricted
-    # fourcolor evaluation 0.0188, EVAL_full.md).  The reference-faithful
-    # schedules remain one flag away (regularizer="exact"/"fourcolor").
+    # fourcolor evaluation 0.0188, EVAL_full.md) plus the bit-exact r_store
+    # traffic mode (cv_store_radius=8).  The reference-faithful schedules
+    # remain one flag away (regularizer="exact"/"fourcolor").
     regularizer: RegularizerMode = "windowed"
     sweeps_per_round: int = 2
     lambda_scale: float = 0.5
@@ -148,7 +152,7 @@ class MotionConfig:
     rival_window: bool = True
     rival_radius: int | None = 8
     mv_cap: int | None = None
-    cv_store_radius: int | None = None
+    cv_store_radius: int | None = 8
     cv_compact: int | None = None
     cv_compact_ring: int = 3
     cv_fused: int | None = None
