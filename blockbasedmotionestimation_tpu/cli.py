@@ -45,6 +45,13 @@ def _cfg_from_args(args) -> "MotionConfig":
     )
 
 
+def _rival_radius_arg(s: str):
+    """'8' -> 8; '8,8,full,full' -> (8, 8, None, None) (finest level first)."""
+    if "," not in s:
+        return None if s == "full" else int(s)
+    return tuple(None if t.strip() == "full" else int(t) for t in s.split(","))
+
+
 def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--levels", type=int, default=4, help="pyramid levels (main_class.cpp:19)")
     p.add_argument("--block", type=int, default=32, help="block size (main_class.cpp:21)")
@@ -58,10 +65,13 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
                    default=True,
                    help="rival windows: close the windowed path's accuracy "
                         "gap at motion discontinuities (see config docs)")
-    p.add_argument("--rival-radius", type=int, default=8,
-                   help="rival window radius (production default 8; the "
-                        "full primary radius costs ~2x the rival work for "
-                        "a 0.01 mean-EPE gain, EVAL_full.md)")
+    p.add_argument("--rival-radius", type=_rival_radius_arg, default=8,
+                   help="rival window radius: one int for every level, or a "
+                        "comma list finest-first with 'full' for the level's "
+                        "primary radius (e.g. '8,8,full,full' - full-radius "
+                        "rival on the cheap coarse levels recovers the "
+                        "large-motion accuracy a truncated radius loses, "
+                        "EVAL_full.md Urban2/Urban3)")
     p.add_argument("--mv-cap", type=int, default=None,
                    help="cap cross-level MV predictions (bounds tiled halos)")
     p.add_argument("--cv-compact", type=int, default=None,

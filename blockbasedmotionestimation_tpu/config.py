@@ -105,7 +105,12 @@ class MotionConfig:
         level's primary radius R).  The rival cost volume scales with
         (2*rival_radius+1)^2, so a reduced radius buys back most of the
         rival throughput tax; adopted-from-rival MVs then stay within
-        rival_center +- rival_radius.
+        rival_center +- rival_radius.  A PER-LEVEL tuple (level 0 =
+        finest; entries int or None) sets the radius per pyramid level:
+        coarse levels have few parents, so full radius there is nearly
+        free and recovers most of the large-motion accuracy that a
+        single truncated radius loses (EVAL_full.md Urban2/Urban3) while
+        the fine levels keep the cheap radius.
       cv_store_radius: r_store traffic mode for the production hybrid
         path (``windowed`` + ``rival_window`` + pallas).  The cur=2 cost
         volume - the pipeline's HBM dominator (~1.2 GB/1080p field written
@@ -150,7 +155,7 @@ class MotionConfig:
     reg_radius: int | None = None
     window_center: Literal["pred", "search"] = "pred"
     rival_window: bool = True
-    rival_radius: int | None = 8
+    rival_radius: int | tuple[int | None, ...] | None = 8
     mv_cap: int | None = None
     cv_store_radius: int | None = 8
     cv_compact: int | None = None
@@ -172,6 +177,18 @@ class MotionConfig:
                 raise ValueError(f"search size {ss} must be >= block size {bs}")
         if self.interp_factor < 1:
             raise ValueError("interp_factor must be >= 1")
+        if isinstance(self.rival_radius, tuple):
+            if len(self.rival_radius) != len(self.block_sizes):
+                raise ValueError(
+                    "per-level rival_radius needs one entry per pyramid "
+                    f"level, got {len(self.rival_radius)} for "
+                    f"{len(self.block_sizes)} levels"
+                )
+            for r in self.rival_radius:
+                if r is not None and r < 0:
+                    raise ValueError("rival_radius entries must be >= 0 or None")
+        elif self.rival_radius is not None and self.rival_radius < 0:
+            raise ValueError("rival_radius must be >= 0")
         if self.cv_store_radius is not None and self.cv_store_radius < 0:
             raise ValueError("cv_store_radius must be >= 0")
         if self.cv_fused is not None:
@@ -207,6 +224,13 @@ class MotionConfig:
     def shift(self, level: int) -> int:
         """Search extent: reference ``shift = search_size - block_size``."""
         return self.search_sizes[level] - self.block_sizes[level]
+
+    def rival_radius_at(self, level: int) -> int | None:
+        """Rival radius for one pyramid level (level 0 = finest): the scalar
+        setting everywhere, or the level's entry of a per-level tuple."""
+        if isinstance(self.rival_radius, tuple):
+            return self.rival_radius[level]
+        return self.rival_radius
 
     def replace(self, **kw) -> "MotionConfig":
         return dataclasses.replace(self, **kw)

@@ -76,16 +76,18 @@ def _run_level(
     bs: int,
     ss: int,
     cfg: MotionConfig,
+    level: int = 0,
 ) -> jnp.ndarray:
     """Search + regularization schedule for one level; returns the stride-1 grid."""
     lam0f = float(bs) * cfg.lambda_scale
+    rr = cfg.rival_radius_at(level)
     if cfg.uses_fused_windowed:
         # fused path: one window gather + pooled cost volume serves the
         # spiral-search argmin AND the regularization rounds (ops.windowed)
         return windowed_level(
             im1, im2, pred, bs, ss, lam0f, cfg.sweeps_per_round,
             cost=cfg.cost, impl=cfg.search_impl, rival=cfg.rival_window,
-            rival_radius=cfg.rival_radius, compact=cfg.cv_compact,
+            rival_radius=rr, compact=cfg.cv_compact,
             compact_ring=cfg.cv_compact_ring, fuse=cfg.cv_fused,
             store_radius=cfg.cv_store_radius,
         )
@@ -98,7 +100,7 @@ def _run_level(
         return windowed_schedule(
             im1, im2, grid, bs, ss, lam0, cfg.sweeps_per_round,
             cost=cfg.cost, reg_radius=cfg.reg_radius, impl=cfg.search_impl,
-            rival=cfg.rival_window, rival_radius=cfg.rival_radius,
+            rival=cfg.rival_window, rival_radius=rr,
         )
     return run_schedule(
         im1, im2, grid, bs, lam0,
@@ -127,7 +129,7 @@ def estimate_flow_padded(
                 # capped-MV model: bounds the tiled engine's halo (see
                 # config.MotionConfig.mv_cap); applied identically there
                 pred = jnp.clip(pred, -float(cfg.mv_cap), float(cfg.mv_cap))
-        dense = _run_level(im1, im2, pred, bs, ss, cfg)
+        dense = _run_level(im1, im2, pred, bs, ss, cfg, level)
     return dense  # stride-1: copy_to_all_pixels (:205-206) is the identity here
 
 

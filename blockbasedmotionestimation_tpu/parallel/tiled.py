@@ -152,7 +152,7 @@ def _exchange_cols_edge(x: jnp.ndarray, axis: str) -> jnp.ndarray:
 
 def _tiled_level_fn_2d(
     bs: int, ss: int, cfg: MotionConfig, full_h: int, full_w: int,
-    halo: int, axis: str, axis_x: str,
+    halo: int, axis: str, axis_x: str, level: int = 0,
 ):
     """Per-device level body for 2-D (ty x tx) spatial tiling.
 
@@ -188,7 +188,7 @@ def _tiled_level_fn_2d(
                 full_w=full_w, col0=col0, im2_col0=im2_col0,
                 make_gp=make_gp, impl=cfg.search_impl,
                 rival=cfg.rival_window, rival_extend=rival_extend,
-                rival_radius=cfg.rival_radius,
+                rival_radius=cfg.rival_radius_at(level),
             )
 
         grid = block_search_level(
@@ -209,7 +209,7 @@ def _tiled_level_fn_2d(
                 full_w=full_w, col0=col0, im2_col0=im2_col0,
                 make_gp=make_gp, impl=cfg.search_impl,
                 rival=cfg.rival_window, rival_extend=rival_extend,
-                rival_radius=cfg.rival_radius,
+                rival_radius=cfg.rival_radius_at(level),
             )
         return reg.run_schedule(
             im1_t, im2_buf, grid, bs, lam0, cfg.sweeps_per_round, cfg.regularizer,
@@ -221,7 +221,10 @@ def _tiled_level_fn_2d(
     return body
 
 
-def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int, axis: str):
+def _tiled_level_fn(
+    bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int, axis: str,
+    level: int = 0,
+):
     """Builds the per-device level body (search + regularization schedule)."""
 
     def body(im1_t: jnp.ndarray, im2_t: jnp.ndarray, pred_t: jnp.ndarray) -> jnp.ndarray:
@@ -263,7 +266,7 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
                 cost=cfg.cost, full_h=full_h, row0=row0, im2_row0=im2_row0,
                 make_gp=make_gp, impl=cfg.search_impl,
                 rival=cfg.rival_window, rival_extend=rival_extend,
-                rival_radius=cfg.rival_radius, fuse=cfg.cv_fused,
+                rival_radius=cfg.rival_radius_at(level), fuse=cfg.cv_fused,
                 cell_exchange=cell_exchange,
                 store_radius=cfg.cv_store_radius,
             )
@@ -284,7 +287,7 @@ def _tiled_level_fn(bs: int, ss: int, cfg: MotionConfig, full_h: int, halo: int,
                 full_h=full_h, row0=row0, im2_row0=im2_row0, make_gp=make_gp,
                 impl=cfg.search_impl,
                 rival=cfg.rival_window, rival_extend=rival_extend,
-                rival_radius=cfg.rival_radius, cell_exchange=cell_exchange,
+                rival_radius=cfg.rival_radius_at(level), cell_exchange=cell_exchange,
             )
         return reg.run_schedule(
             im1_t, im2_buf, grid, bs, lam0, cfg.sweeps_per_round, cfg.regularizer,
@@ -514,7 +517,7 @@ def estimate_flow_padded_tiled(
             sharding = NamedSharding(mesh, P(axis, axis_x))
             im1 = jax.lax.with_sharding_constraint(im1, sharding)
             im2 = jax.lax.with_sharding_constraint(im2, sharding)
-            body = _tiled_level_fn_2d(bs, ss, cfg, h, w, halo, axis, axis_x)
+            body = _tiled_level_fn_2d(bs, ss, cfg, h, w, halo, axis, axis_x, level)
             dense = shard_map(
                 body,
                 mesh=mesh,
@@ -528,7 +531,7 @@ def estimate_flow_padded_tiled(
             row_sharding = NamedSharding(mesh, P(axis, None))
             im1 = jax.lax.with_sharding_constraint(im1, row_sharding)
             im2 = jax.lax.with_sharding_constraint(im2, row_sharding)
-            body = _tiled_level_fn(bs, ss, cfg, h, halo, axis)
+            body = _tiled_level_fn(bs, ss, cfg, h, halo, axis, level)
             dense = shard_map(
                 body,
                 mesh=mesh,
@@ -538,7 +541,7 @@ def estimate_flow_padded_tiled(
             )(im1, im2, pred)
         else:
             # level too small to tile: run it replicated (coarse levels are tiny)
-            dense = engine._run_level(im1, im2, pred, bs, ss, cfg)
+            dense = engine._run_level(im1, im2, pred, bs, ss, cfg, level)
     return dense
 
 
@@ -609,7 +612,7 @@ def estimate_flow_padded_batch_tiled(
         if rows_ok and cols_ok:
             im1 = jax.lax.with_sharding_constraint(im1, btx_sharding)
             im2 = jax.lax.with_sharding_constraint(im2, btx_sharding)
-            body = _tiled_level_fn_2d(bs, ss, cfg, h, w, halo, axis, axis_x)
+            body = _tiled_level_fn_2d(bs, ss, cfg, h, w, halo, axis, axis_x, level)
             dense = shard_map(
                 jax.vmap(body),
                 mesh=mesh,
@@ -624,7 +627,7 @@ def estimate_flow_padded_batch_tiled(
         elif rows_ok:
             im1 = jax.lax.with_sharding_constraint(im1, bt_sharding)
             im2 = jax.lax.with_sharding_constraint(im2, bt_sharding)
-            body = _tiled_level_fn(bs, ss, cfg, h, halo, axis)
+            body = _tiled_level_fn(bs, ss, cfg, h, halo, axis, level)
             dense = shard_map(
                 jax.vmap(body),
                 mesh=mesh,
@@ -642,7 +645,7 @@ def estimate_flow_padded_batch_tiled(
                 im1, NamedSharding(mesh, P(batch_axis, None, None))
             )
             dense = jax.vmap(
-                lambda a, b, p: engine._run_level(a, b, p, bs, ss, cfg)
+                lambda a, b, p: engine._run_level(a, b, p, bs, ss, cfg, level)
             )(im1, im2, pred)
     return dense
 

@@ -179,7 +179,8 @@ def windowed_pipeline_roofline(
             hbm_bytes=2 * side2 * nblk * 4)
 
         # per-round color-step operands + compute (+ rival slabs)
-        rr = ext if cfg.rival_radius is None else min(cfg.rival_radius, ext)
+        rr_lvl = cfg.rival_radius_at(level)
+        rr = ext if rr_lvl is None else min(rr_lvl, ext)
         rwin = bs + 2 * rr
         if cfg.rival_window:
             add("rival", hbm_bytes=nblk * rwin * rwin * (1 + 2 + 2))

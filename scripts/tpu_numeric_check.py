@@ -42,5 +42,8 @@ f = np.asarray(flow)
 inner = f[:, 200:-200, 200:-200, :]
 u, v = np.unique(inner[..., 0]), np.unique(inner[..., 1])
 print("interior u:", u, "v:", v, flush=True)
-assert u.size == 1 and v.size == 1 and abs(u[0]) == DX and abs(v[0]) == DY, (u, v)
-print(f"ok: planted ({DX},{DY}) translation recovered exactly on all {B} fields")
+# the engine's convention maps a +(DX,DY) content shift of frame 2 to
+# flow (-DX,-DY) (block at im1(y,x) matches im2(y-DY,x-DX)); asserting the
+# exact signed values means a TPU sign-flip miscompile cannot pass
+assert u.size == 1 and v.size == 1 and u[0] == -DX and v[0] == -DY, (u, v)
+print(f"ok: planted ({DX},{DY}) translation recovered exactly (u={-DX}, v={-DY}) on all {B} fields")

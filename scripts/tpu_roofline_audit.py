@@ -144,8 +144,12 @@ model_merge = {
 lines = [
     "# FLOOR — per-component roofline vs measured trace (production bench)",
     "",
-    f"Config: windowed + rival r8, B={B}, 1080p ({p.padded_h}x{p.padded_w}"
-    " padded), 4 levels.  Model: `utils.profiling.windowed_pipeline_roofline`"
+    f"Config: windowed + rival_radius={cfg.rival_radius}, "
+    f"cv_store_radius={cfg.cv_store_radius}, cv_fused={cfg.cv_fused}, "
+    f"B={B}, 1080p ({p.padded_h}x{p.padded_w}"
+    " padded), 4 levels — the SHIPPED DEFAULT `MotionConfig()` that bench.py"
+    " runs (floor and bench must quote the same config)."
+    "  Model: `utils.profiling.windowed_pipeline_roofline`"
     " (structural floors: VPU 2e12 int-ops/s, HBM 810 GB/s, perfect overlap"
     " within a component).  Measured: per-op device durations from one"
     " jax.profiler trace, mapped to components by op name"

@@ -263,6 +263,64 @@ def test_rival_hybrid_middle_round_matches_xla():
     _run_isolated("rival_pallas_bs16")
 
 
+def test_rival_radius_per_level_tuple_equals_scalar(rng):
+    # a uniform per-level tuple must be BIT-IDENTICAL to the scalar setting
+    # (pure plumbing: cfg.rival_radius_at resolves the same radius per level)
+    cfg_s = MotionConfig(
+        block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
+        regularizer="windowed", rival_window=True, rival_radius=4,
+    )
+    cfg_t = cfg_s.replace(rival_radius=(4, 4))
+    im1, im2 = _pair(rng, 64, 64, dy=2, dx=-3)
+    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_s))
+    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_t))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_rival_radius_per_level_mixed(rng):
+    # (fine, coarse) = (2, None): the coarse level runs FULL-radius rival,
+    # the fine level radius 2.  Sanity: a clamping-huge coarse entry equals
+    # None there (both resolve to the level's primary radius), and the
+    # mixed schedule stays a valid flow field of the right shape.
+    cfg_mixed = MotionConfig(
+        block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
+        regularizer="windowed", rival_window=True, rival_radius=(2, None),
+    )
+    cfg_huge = cfg_mixed.replace(rival_radius=(2, 999))
+    im1, im2 = _pair(rng, 64, 64, dy=2, dx=-3)
+    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_mixed))
+    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_huge))
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (64, 64, 2)
+
+
+def test_rival_radius_tuple_validation():
+    with pytest.raises(ValueError, match="per-level rival_radius"):
+        MotionConfig(block_sizes=(8, 8), search_sizes=(24, 24),
+                     interp_factor=1, rival_radius=(4,))
+    with pytest.raises(ValueError, match="rival_radius"):
+        MotionConfig(block_sizes=(8, 8), search_sizes=(24, 24),
+                     interp_factor=1, rival_radius=(4, -1))
+
+
+def test_rival_radius_per_level_tiled_equals_untiled(rng):
+    # the per-level schedule must survive row tiling bit-exactly (the level
+    # index, not just the radius value, is threaded through the tiled body)
+    import jax
+    from jax.sharding import Mesh
+    from blockbasedmotionestimation_tpu.parallel import tiled
+
+    cfg = MotionConfig(
+        block_sizes=(4, 4), search_sizes=(6, 6), interp_factor=1,
+        regularizer="windowed", rival_window=True, rival_radius=(1, None),
+    )
+    im1, im2 = _pair(rng, 128, 64, dy=1, dx=-1, margin=16)
+    mesh = Mesh(np.array(jax.devices()), ("ty",))
+    want = np.asarray(engine.estimate_flow_padded(im1, im2, cfg))
+    got = np.asarray(tiled.estimate_flow_padded_tiled(im1, im2, cfg, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_rival_tiled_pallas_equals_untiled(rng):
     import jax
     from jax.sharding import Mesh
