@@ -33,6 +33,7 @@ def _cfg_from_args(args) -> "MotionConfig":
         interp_factor=args.interp,
         regularizer=args.regularizer,
         sweeps_per_round=args.sweeps,
+        cost=args.cost,
         rival_window=args.rival,
         rival_radius=args.rival_radius,
         mv_cap=args.mv_cap,
@@ -61,6 +62,11 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--regularizer", default="windowed",
                    choices=["exact", "fourcolor", "jacobi", "windowed"])
     p.add_argument("--sweeps", type=int, default=2, help="sweeps per subdivision round")
+    p.add_argument("--cost", default="sad", choices=["sad", "ssd", "zsad"],
+                   help="matching cost: sad = the reference's cv::norm L1 "
+                        "(motion_framework.cpp:315, default); zsad = "
+                        "zero-mean SAD, robust to gain/offset brightness "
+                        "nuisance (EVAL_robust.md)")
     p.add_argument("--rival", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="rival windows: close the windowed path's accuracy "

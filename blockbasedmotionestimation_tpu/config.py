@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Literal, Sequence
 
-CostKind = Literal["sad", "ssd"]
+CostKind = Literal["sad", "ssd", "zsad"]
 RegularizerMode = Literal["exact", "fourcolor", "jacobi", "windowed"]
 SearchImpl = Literal["auto", "xla", "pallas", "pallas_interpret"]
 SearchOrder = Literal["spiral", "raster"]
@@ -34,7 +34,13 @@ class MotionConfig:
         estimation; output MVs are divided back down (``main_class.cpp:32-70``).
       cost: matching cost. ``sad`` is the reference's ``cv::norm(NORM_L1)``;
         ``ssd`` is the MXU-friendly alternative (correlation term on the
-        systolic array).
+        systolic array); ``zsad`` is zero-mean SAD (sum |d - mean(d)| per
+        block) - invariant to uniform brightness offsets and first-order
+        robust to gain, the classical fix for raw SAD's collapse under
+        photometric nuisance (EVAL_robust.md).  zsad is float-valued and
+        runs on the XLA cost paths (the capacity Pallas kernels implement
+        sad/ssd); the default stays reference-faithful raw SAD
+        (``motion_framework.cpp:315``).
       regularizer: sweep scheduling for the 8-connected smoothness pass.
         ``exact``     - wavefront Gauss-Seidel, bit-exact with the reference's
                         in-place raster sweeps (``motion_framework.cpp:616``).

@@ -45,13 +45,25 @@ def resolve_impl(impl: str) -> str:
 
 
 def block_cost(a: jnp.ndarray, b: jnp.ndarray, axis, cost: str) -> jnp.ndarray:
-    """SAD (cv::norm NORM_L1, the reference cost) or SSD on int16 blocks."""
+    """SAD (cv::norm NORM_L1, the reference cost), SSD, or zero-mean SAD.
+
+    ``zsad`` subtracts the block-mean difference before the L1 sum
+    (sum |d_i - mean(d)|): invariant to a uniform brightness offset and
+    first-order robust to gain, the classical fix for the raw-SAD collapse
+    under photometric nuisance (EVAL_robust.md; the reference's cost is raw
+    SAD, ``motion_framework.cpp:315``, so ``sad`` stays the default).
+    Float-valued (f32); runs on the XLA cost paths.
+    """
     d = a - b
     if cost == "sad":
         return jnp.sum(jnp.abs(d), axis=axis, dtype=jnp.int32)
     if cost == "ssd":
         d32 = d.astype(jnp.int32)
         return jnp.sum(d32 * d32, axis=axis, dtype=jnp.int32)
+    if cost == "zsad":
+        df = d.astype(jnp.float32)
+        m = jnp.mean(df, axis=axis, keepdims=True)
+        return jnp.sum(jnp.abs(df - m), axis=axis)
     raise ValueError(f"unknown cost: {cost}")
 
 
@@ -218,8 +230,9 @@ def _raster_search_level(
 
     dys2 = jnp.repeat(jnp.arange(side, dtype=jnp.int32), side)
     dxs2 = jnp.tile(jnp.arange(side, dtype=jnp.int32), side)
+    cdt = jnp.float32 if cost == "zsad" else jnp.int32  # zsad is f32-valued
     init = (
-        jnp.full((nblk,), _I32_MAX, dtype=jnp.int32),
+        jnp.full((nblk,), _I32_MAX, dtype=cdt),
         jnp.full((nblk,), _I32_MAX, dtype=jnp.int32),
         cy,  # empty window -> predicted position (:251-252)
         cx,
@@ -266,6 +279,8 @@ def block_search_level(
       (nby, nbx, 2) float32 winning MVs (integer-valued).
     """
     impl = resolve_impl(impl)
+    if cost == "zsad":
+        impl = "xla"  # float-valued cost; Pallas kernels implement sad/ssd
     if order == "raster":
         return _raster_search_level(
             im1, im2, pred, bs, ss, full_h=full_h, row0=row0, im2_row0=im2_row0,
@@ -336,8 +351,9 @@ def block_search_level(
                 jnp.where(better, dx, best_dx),
             ), None
 
+        cdt = jnp.float32 if cost == "zsad" else jnp.int32
         init = (
-            jnp.full((nblk,), _I32_MAX, dtype=jnp.int32),
+            jnp.full((nblk,), _I32_MAX, dtype=cdt),
             jnp.full((nblk,), ext, dtype=jnp.int32),  # center offset (rank 0)
             jnp.full((nblk,), ext, dtype=jnp.int32),
         )

@@ -57,6 +57,8 @@ _I32_MAX = np.int32(np.iinfo(np.int32).max)
 
 def _cv_dtype(cur: int, cost: str):
     """Smallest dtype holding a worst-case block cost at sub-block size cur."""
+    if cost == "zsad":
+        return jnp.float32  # mean-subtracted costs are float-valued
     peak = (255 * 255 if cost == "ssd" else 255) * cur * cur
     return jnp.uint16 if peak < (1 << 16) else jnp.int32
 
@@ -143,6 +145,13 @@ def _compute_cv(
             windows_t, (ext + dy - r, ext + dx - r, 0), (bs, bs, np_tot)
         )
         d = patches_t - w
+        if cost == "zsad":
+            # zero-mean SAD per (cur, cur) sub-block: subtract the block-mean
+            # difference before the L1 sum (robust to gain/offset nuisance;
+            # see ops.search.block_cost)
+            dr = d.astype(jnp.float32).reshape(f, cur, f, cur, np_tot)
+            m = jnp.mean(dr, axis=(1, 3), keepdims=True)
+            return None, jnp.abs(dr - m).sum(axis=(1, 3)).astype(dt)
         if cost == "sad":
             dmap = jnp.abs(d).astype(jnp.int32)
         else:
@@ -253,6 +262,8 @@ def _pallas_round_pm(
     k_slots: int = 0,
     fused_in: dict | None = None,  # chunk-fused mode: VMEM slab inputs
     cell_exchange=None,  # row-tiled: (top_edge, bot_edge) -> ghost rows
+    cell_exchange_2d=None,  # 2-D tiled: rows + corner-extended columns
+    col0_b: jnp.ndarray | int = 0,  # global block-col offset in cur units
 ) -> jnp.ndarray:
     """Sub-divided rounds (f >= 2) in PARENT-MAJOR cell layout.
 
@@ -274,6 +285,23 @@ def _pallas_round_pm(
     ``fused_in``).  Frame-boundary devices receive zero rows; every
     position that could read them is masked by the global-coordinate
     presence masks, exactly like the untiled rolls' wrap artifacts.
+
+    2-D (ty x tx) tiles (``cell_exchange_2d`` set) additionally exchange
+    one ghost cell COLUMN per side and per color step: the closure first
+    ppermutes the boundary cell rows over the row axis, then ppermutes
+    the tiles' edge cell columns EXTENDED with the received ghost rows'
+    corner cells over the column axis, so the returned west/east ghost
+    columns span global rows [-1, f*npy] and carry the diagonal
+    neighbors' corners.  ``_colshift``'s lane-roll wrap at the tile's
+    first/last parent column is then overwritten from those ghost
+    columns (indexed at the candidate's global row, so row-shifted
+    candidates pick the corner cells automatically) - the column
+    analogue of the ghost-row patch, preserving cross-tile Gauss-Seidel
+    visibility on both axes.  This is what lets the capacity modes
+    (``cv_fused`` / ``cv_store_radius``) compose with column tiling -
+    the reference's own parallel split is by columns
+    (``parallel.h:20-58``) and its memory model has no such cliff
+    (``motion_framework.cpp:4-111``).
     """
     from blockbasedmotionestimation_tpu.kernels.fused_step import (
         windowed_color_step_pm_fused,
@@ -295,6 +323,8 @@ def _pallas_round_pm(
     nby, nbx = grid.shape[:2]
     m2, n2 = nby // 2, nbx // 2
     nby_total = h // cur
+    nbx_total = w // cur  # == nbx unless column-tiled (cell_exchange_2d)
+    col0_b = jnp.asarray(col0_b, dtype=jnp.int32)
 
     def padp(x, fill=0):
         pads = [(0, 0)] * (x.ndim - 1) + [(0, npp - n_p)]
@@ -320,16 +350,16 @@ def _pallas_round_pm(
     pxx = jnp.arange(npx, dtype=jnp.int32)
     for ci_, cj_ in _COLORS:
         gi_sp = row0_b + 2 * syy[:, None] + ci_ + f * pyy[None, :]  # (s2, npy)
-        jj_sp = 2 * sxx[:, None] + cj_ + f * pxx[None, :]           # (s2, npx)
+        jj_sp = col0_b + 2 * sxx[:, None] + cj_ + f * pxx[None, :]  # (s2, npx)
         gi4 = gi_sp[:, None, :, None]
         jj4 = jj_sp[None, :, None, :]
-        case = reg._border_case(gi4, jj4, nby_total, nbx)  # (s2, s2, npy, npx)
+        case = reg._border_case(gi4, jj4, nby_total, nbx_total)
         rank = jnp.moveaxis(rank_table[case], -1, 0)       # (9, s2, s2, npy, npx)
         present = rank < reg._BIG_RANK
         for k, (dy, dx) in enumerate(reg.SLOTS):
             ok = (
                 (gi4 + dy >= 0) & (gi4 + dy < nby_total)
-                & (jj4 + dx >= 0) & (jj4 + dx < nbx)
+                & (jj4 + dx >= 0) & (jj4 + dx < nbx_total)
             )
             present = present.at[k].set(present[k] & ok)
         present_pm.append(padp(present.reshape(9, s2, s2, n_p).astype(jnp.int32)))
@@ -462,10 +492,37 @@ def _pallas_round_pm(
         ]
         return jnp.stack(es, axis=2).reshape(2, f, hi - lo)
 
+    def _edge_col(pl, cc, sx, lane_col):
+        # one global cell column (2, f*npy): plane column sx of column-color
+        # cc at parent column lane_col, the two row-color planes
+        # re-interleaved (global row in tile = f*parent_row + 2*plane_row
+        # + rc)
+        es = []
+        for rc in (0, 1):
+            e = _cm_to_flat(pl[(rc, cc)][:, :, :, sx])  # (2, s2, npp)
+            es.append(
+                e[..., :n_p].reshape(2, s2, npy, npx)[..., lane_col]
+            )
+        st = jnp.stack(es, axis=-1)  # (2, s2, npy, rc)
+        return st.transpose(0, 2, 1, 3).reshape(2, f * npy)
+
     def sweep_body(pl, lam_mult):
         for ci, cj in _COLORS:
             from_north = from_south = None
-            if cell_exchange is not None:
+            west_ext = east_ext = None
+            if cell_exchange_2d is not None:
+                # 2-D tiles: ghost rows over the row axis, then ghost
+                # columns (extended with the ghost rows' corner cells)
+                # over the column axis - before EVERY color step, so
+                # cross-tile Gauss-Seidel visibility holds on both axes
+                top_edge = _edge_row(pl, 0, 0, 0, npx)           # (2, f, npx)
+                bot_edge = _edge_row(pl, 1, s2 - 1, n_p - npx, n_p)
+                west_col = _edge_col(pl, 0, 0, 0)                # (2, f*npy)
+                east_col = _edge_col(pl, 1, s2 - 1, npx - 1)
+                from_north, from_south, west_ext, east_ext = cell_exchange_2d(
+                    top_edge, bot_edge, west_col, east_col
+                )
+            elif cell_exchange is not None:
                 # refresh the cross-tile ghost rows BEFORE this color step:
                 # send my first real cell row north / last south, receive
                 # the neighbors' boundary rows
@@ -488,12 +545,43 @@ def _pallas_round_pm(
                     )
                     for cc in (0, 1)
                 )
+            def _colpatch(p, psh, dy):
+                # overwrite _colshift's lane-roll wrap at the tile's
+                # west/east parent column with the neighbor tile's ghost
+                # cell column, indexed at the candidate's global row
+                # (ci + dy + cell row), so row-crossing candidates read
+                # the diagonal corners the extended columns carry
+                ext_c = west_ext if psh == -1 else east_ext  # (2, f*npy+2)
+                colx = 0 if psh == -1 else s2 - 1
+                lanec = 0 if psh == -1 else npx - 1
+                idx = (
+                    2 * np.arange(s2)[:, None] + ci + dy + 1
+                    + f * np.arange(npy)[None, :]
+                )  # (s2, npy) static
+                patch = ext_c[:, jnp.asarray(idx)]  # (2, s2, npy)
+                colsl = p[:, :, :, colx : colx + 1, :]
+                flat = _cm_to_flat(colsl)  # (2, s2, 1, npp)
+                body = flat[..., :n_p].reshape(2, s2, 1, npy, npx)
+                body = body.at[..., lanec].set(patch[:, :, None])
+                flat = jnp.concatenate(
+                    [body.reshape(2, s2, 1, n_p), flat[..., n_p:]], axis=-1
+                )
+                colsl = _flat_to_cm(flat)
+                if colx == 0:
+                    return jnp.concatenate([colsl, p[:, :, :, 1:, :]], axis=3)
+                return jnp.concatenate(
+                    [p[:, :, :, : s2 - 1, :], colsl], axis=3
+                )
+
+            def _cand(dy, dx):
+                pcc, psh = _vsplit(cj + dx)
+                out = _colshift(ys[ci + dy][pcc], psh)
+                if west_ext is not None and psh != 0:
+                    out = _colpatch(out, psh, dy)
+                return out
+
             cands = jnp.stack(
-                [
-                    _colshift(ys[ci + dy][_vsplit(cj + dx)[0]],
-                              _vsplit(cj + dx)[1])
-                    for dy, dx in reg.SLOTS
-                ],
+                [_cand(dy, dx) for dy, dx in reg.SLOTS],
                 axis=1,
             )  # (nch, 9, 2, s2, s2, 128) — the kernels' native layout
             sc = jnp.stack(
@@ -812,6 +900,7 @@ def windowed_schedule(
     rival_extend=None,
     rival_radius: int | None = None,
     cell_exchange=None,
+    cell_exchange_2d=None,
 ) -> jnp.ndarray:
     """The per-level regularization schedule on window-resident data.
 
@@ -873,6 +962,8 @@ def windowed_schedule(
         )
 
     impl = _resolve_impl(impl)
+    if cost == "zsad":
+        impl = "xla"  # float-valued cost; the Pallas kernels implement sad/ssd
     cvs_pallas = rcvs_pallas = None
     if impl in ("pallas", "pallas_interpret"):
         interp = impl == "pallas_interpret"
@@ -889,6 +980,7 @@ def windowed_schedule(
         make_gp, lam0, sweeps_per_round, impl, untiled, cvs_pallas,
         rwindows=rwindows, rbase=rbase, rcvs_pallas=rcvs_pallas, r2=r2,
         col0=col0, cell_exchange=cell_exchange,
+        cell_exchange_2d=cell_exchange_2d,
     )
 
 
@@ -921,6 +1013,7 @@ def _rounds_loop(
     fuse_max: int = 0,
     col0: jnp.ndarray | int = 0,
     cell_exchange=None,
+    cell_exchange_2d=None,
 ) -> jnp.ndarray:
     """The subdivision rounds of the windowed schedule (see module docstring).
 
@@ -944,12 +1037,18 @@ def _rounds_loop(
             # fused Pallas color-step path: per-color constants hoisted out
             # of the sweep scan, selection + energy + winner in one kernel.
             # Sub-divided rounds run in parent-major cell layout (no big
-            # transposes) when untiled OR row-tiled with a cell_exchange
-            # closure (the per-step ghost-row ppermute carries the
-            # cross-tile Gauss-Seidel visibility the lane rolls cannot
-            # see); 2-D-tiled runs keep the slab path, whose make_gp
-            # candidate gather exchanges both axes.
-            cell_ok = untiled or cell_exchange is not None
+            # transposes) when untiled OR tiled with a cell-exchange
+            # closure: the per-step ghost ppermutes carry the cross-tile
+            # Gauss-Seidel visibility the lane rolls cannot see
+            # (cell_exchange: ghost rows, 1-D strips; cell_exchange_2d:
+            # ghost rows + corner-extended ghost columns, 2-D ty x tx
+            # tiles).  2-D runs WITHOUT the closure keep the slab path,
+            # whose make_gp candidate gather exchanges both axes.
+            cell_ok = (
+                untiled
+                or cell_exchange is not None
+                or cell_exchange_2d is not None
+            )
             round_fn = _pallas_round_pm if (f >= 2 and cell_ok) else _pallas_round
             rkw = {}
             use_fused = (
@@ -977,6 +1076,9 @@ def _rounds_loop(
             elif not use_fused:
                 vol = cvs_pallas.pop(cur)
             if round_fn is _pallas_round:
+                rkw["col0_b"] = col0 // cur
+            elif cell_exchange_2d is not None:
+                rkw["cell_exchange_2d"] = cell_exchange_2d
                 rkw["col0_b"] = col0 // cur
             elif cell_exchange is not None:
                 rkw["cell_exchange"] = cell_exchange
@@ -1156,6 +1258,7 @@ def windowed_level(
     compact_ring: int = 3,
     fuse: int | None = None,
     cell_exchange=None,
+    cell_exchange_2d=None,
     store_radius: int | None = None,
 ) -> jnp.ndarray:
     """Fused block search + windowed regularization from ONE cost volume.
@@ -1230,6 +1333,8 @@ def windowed_level(
     )
 
     impl = _resolve_impl(impl)
+    if cost == "zsad":
+        impl = "xla"  # float-valued cost; the Pallas kernels implement sad/ssd
     eff_store = None
     use_compact = (
         compact is not None
@@ -1238,10 +1343,13 @@ def windowed_level(
         and not rival
         and bs >= 8
     )
+    any_cell_exchange = (
+        cell_exchange is not None or cell_exchange_2d is not None
+    )
     use_fused_cv = (
         fuse is not None
         and impl in ("pallas", "pallas_interpret")
-        and (untiled or cell_exchange is not None)
+        and (untiled or any_cell_exchange)
         and not use_compact
         and bs % 8 == 0
     )
@@ -1298,7 +1406,7 @@ def windowed_level(
                 rival
                 and bs % 8 == 0
                 and bs >= 8
-                and (untiled or cell_exchange is not None)
+                and (untiled or any_cell_exchange)
                 and not use_compact
                 and 0 <= eff_store < ext
                 and not _os.environ.get("BBME_NO_HYBRID")
@@ -1316,7 +1424,7 @@ def windowed_level(
         sad_flat = (
             _compute_cv(patches1, windows, bs, bs, ext, ext, cost)
             .reshape(side * side, nblk)
-            .astype(jnp.int32)
+            .astype(jnp.float32 if cost == "zsad" else jnp.int32)
         )
 
     # spiral argmin over the volume: strict-< first-visit-wins == two-stage
@@ -1410,7 +1518,7 @@ def windowed_level(
             )[1]
         elif (
             cvs_pallas is not None
-            and (untiled or cell_exchange is not None)
+            and (untiled or any_cell_exchange)
             and bs % 8 == 0
             and not use_compact
             and not _os.environ.get("BBME_NO_HYBRID")
@@ -1473,5 +1581,5 @@ def windowed_level(
         compact_cvs=compact_cvs, dv_slots=dv_slots,
         k_slots=0 if compact is None else compact,
         fused_in=fused_in, fuse_max=fuse_eff, col0=col0,
-        cell_exchange=cell_exchange,
+        cell_exchange=cell_exchange, cell_exchange_2d=cell_exchange_2d,
     )

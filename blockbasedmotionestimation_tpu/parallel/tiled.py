@@ -178,6 +178,34 @@ def _tiled_level_fn_2d(
         def rival_extend(g):
             return _exchange_cols_edge(_exchange_rows_edge(g, axis), axis_x)
 
+        def cell_exchange_2d(top_edge, bot_edge, west_col, east_col):
+            # cell-layout rounds on the 2-D mesh: ghost cell rows over the
+            # row axis first, then ghost cell columns over the column axis
+            # - each tile's edge columns EXTENDED with the received ghost
+            # rows' end cells, so the returned west/east columns span
+            # global rows [-1, rows] and carry the DIAGONAL neighbors'
+            # corner cells.  Mesh-boundary tiles receive zeros (masked by
+            # the global presence checks downstream).
+            t = jax.lax.axis_size(axis)
+            tx = jax.lax.axis_size(axis_x)
+            from_north = jax.lax.ppermute(
+                bot_edge, axis, [(i, i + 1) for i in range(t - 1)]
+            )
+            from_south = jax.lax.ppermute(
+                top_edge, axis, [(i, i - 1) for i in range(1, t)]
+            )
+            nw, ne = from_north[:, 0:1, 0], from_north[:, -1:, -1]
+            sw, se = from_south[:, 0:1, 0], from_south[:, -1:, -1]
+            west_mine = jnp.concatenate([nw, west_col, sw], axis=1)
+            east_mine = jnp.concatenate([ne, east_col, se], axis=1)
+            from_west = jax.lax.ppermute(
+                east_mine, axis_x, [(i, i + 1) for i in range(tx - 1)]
+            )
+            from_east = jax.lax.ppermute(
+                west_mine, axis_x, [(i, i - 1) for i in range(1, tx)]
+            )
+            return from_north, from_south, from_west, from_east
+
         if cfg.uses_fused_windowed:
             from blockbasedmotionestimation_tpu.ops.windowed import windowed_level
 
@@ -188,7 +216,9 @@ def _tiled_level_fn_2d(
                 full_w=full_w, col0=col0, im2_col0=im2_col0,
                 make_gp=make_gp, impl=cfg.search_impl,
                 rival=cfg.rival_window, rival_extend=rival_extend,
-                rival_radius=cfg.rival_radius_at(level),
+                rival_radius=cfg.rival_radius_at(level), fuse=cfg.cv_fused,
+                cell_exchange_2d=cell_exchange_2d,
+                store_radius=cfg.cv_store_radius,
             )
 
         grid = block_search_level(
@@ -210,6 +240,7 @@ def _tiled_level_fn_2d(
                 make_gp=make_gp, impl=cfg.search_impl,
                 rival=cfg.rival_window, rival_extend=rival_extend,
                 rival_radius=cfg.rival_radius_at(level),
+                cell_exchange_2d=cell_exchange_2d,
             )
         return reg.run_schedule(
             im1_t, im2_buf, grid, bs, lam0, cfg.sweeps_per_round, cfg.regularizer,

@@ -86,7 +86,10 @@ def merge(parts: list[str]) -> None:
         seqs = d["sequences"]
         out.update(d["results"])
     # canonical column order
-    order = [c for c in ("fourcolor", "windowed", "rival_r8") if c in out]
+    order = [
+        c for c in ("fourcolor", "windowed", "rival_r8", "rival_r8_zsad")
+        if c in out
+    ]
     out = {c: out[c] for c in order + [c for c in out if c not in order]}
     with open(os.path.join(ROOT, "EVAL_robust.json"), "w") as f:
         json.dump({"sequences": seqs, "results": out}, f, indent=1)
@@ -125,6 +128,13 @@ def main() -> None:
             "windowed": base,
             "rival_r8": base.replace(rival_window=True, rival_radius=8),
             "fourcolor": base.replace(regularizer="fourcolor"),
+            # r5: zero-mean SAD - the robustness cost (config docs); same
+            # production schedule, cost flag only.  Runs on the XLA cost
+            # path (zsad is float-valued), so evaluate on CPU like the
+            # fourcolor baseline.
+            "rival_r8_zsad": base.replace(
+                rival_window=True, rival_radius=8, cost="zsad"
+            ),
         }
 
     if subset:

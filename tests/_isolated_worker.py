@@ -143,6 +143,43 @@ def main() -> int:
         np.testing.assert_array_equal(a, b)
         print(f"{scenario}: parity ok")
         return 0
+    elif scenario in (
+        "tiled2d_cell_rounds", "tiled2d_cell_rounds_fused",
+        "tiled2d_cell_rounds_rstore",
+    ):
+        # r5: the cell-layout rounds (and with cv_fused/cv_store_radius the
+        # capacity kernels) run on the 2-D (ty x tx) mesh: neighbor MVs
+        # cross tile boundaries through the per-step ghost-row ppermute
+        # PLUS corner-extended ghost-column ppermutes
+        # (ops.windowed._pallas_round_pm cell_exchange_2d).  Tiled ==
+        # untiled bit for bit - the capacity modes compose with COLUMN
+        # tiling, closing the r4 configuration cliff (the reference's own
+        # split is by columns, parallel.h:20-58).
+        from jax.sharding import Mesh
+
+        from blockbasedmotionestimation_tpu.parallel import tiled
+
+        cfg = MotionConfig(
+            block_sizes=(8, 8), search_sizes=(16, 16), interp_factor=1,
+            regularizer="windowed", rival_window=True,
+            search_impl="pallas_interpret",
+            cv_fused=4 if scenario.endswith("fused") else None,
+            cv_store_radius=2 if scenario.endswith("rstore") else None,
+        )
+        h, w, t, tx = 128, 64, 4, 2
+        assert tiled.im2_halo(cfg, 0) < min(h // t, w // tx)
+        assert tiled.im2_halo(cfg, 1) < min((h // 2) // t, (w // 2) // tx)
+        base = synth.textured_image(h + 32, w + 32, rng)
+        im1 = base[16 : 16 + h, 16 : 16 + w]
+        im2 = base[18 : 18 + h, 13 : 13 + w]
+        mesh = Mesh(np.array(jax.devices()).reshape(t, tx), ("ty", "tx"))
+        a = np.asarray(engine.estimate_flow_padded(im1, im2, cfg))
+        b = np.asarray(
+            tiled.estimate_flow_padded_tiled(im1, im2, cfg, mesh, axis_x="tx")
+        )
+        np.testing.assert_array_equal(a, b)
+        print(f"{scenario}: parity ok")
+        return 0
     else:
         print(f"unknown scenario {scenario}", file=sys.stderr)
         return 2

@@ -334,6 +334,18 @@ def test_tiled_2d_coarse_fallback(rng):
 
 
 @pytest.mark.parametrize("fused", ["", "_fused", "_rstore"])
+def test_tiled_2d_pallas_cell_rounds_equal_untiled(fused):
+    # 2-D (ty x tx) mesh running the cell-layout rounds and the capacity
+    # modes (cv_fused / cv_store_radius): ghost rows AND corner-extended
+    # ghost columns ppermute per color step
+    # (ops.windowed._pallas_round_pm cell_exchange_2d).  Bit-exact vs
+    # untiled - capacity composes with COLUMN tiling (r4 VERDICT item 2).
+    from tests.test_windowed import _run_isolated
+
+    _run_isolated(f"tiled2d_cell_rounds{fused}")
+
+
+@pytest.mark.parametrize("fused", ["", "_fused", "_rstore"])
 def test_tiled_pallas_cell_rounds_equal_untiled(fused):
     # row-tiled strips now run the PARENT-MAJOR cell-layout rounds (and,
     # with cv_fused, the chunk-fused/hybrid kernels): neighbor-tile MVs

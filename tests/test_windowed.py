@@ -263,6 +263,46 @@ def test_rival_hybrid_middle_round_matches_xla():
     _run_isolated("rival_pallas_bs16")
 
 
+@pytest.mark.parametrize("mode", ["windowed", "fourcolor"])
+def test_zsad_recovers_translation_under_gain_offset(rng, mode):
+    # zero-mean SAD (cost="zsad"): a planted translation under a gain+offset
+    # brightness change must still be recovered exactly in the interior -
+    # the robustness cost the raw-SAD reference lacks (EVAL_robust.md shows
+    # raw SAD collapsing to ~2.4-2.9 EPE under these nuisances)
+    cfg = MotionConfig(
+        block_sizes=(16, 16), search_sizes=(32, 32), interp_factor=1,
+        regularizer=mode, rival_window=(mode == "windowed"), cost="zsad",
+    )
+    base = rng.integers(30, 200, size=(176, 208), dtype=np.uint8)
+    im1 = base[:160, :192]
+    im2 = np.clip(
+        base[3:163, 5:197].astype(np.float64) * 1.10 + 12.0, 0, 255
+    ).astype(np.uint8)
+    f = np.asarray(engine.estimate_flow_driver(im1, im2, cfg))
+    inner = f[48:-48, 48:-48]
+    np.testing.assert_array_equal(
+        inner, np.broadcast_to([-5.0, -3.0], inner.shape)
+    )
+
+
+def test_zsad_equals_sad_on_clean_pair(rng):
+    # with no photometric nuisance and strong texture, zsad and sad agree on
+    # the recovered uniform translation (sanity: the mean-subtraction does
+    # not distort the clean case)
+    base = rng.integers(0, 256, size=(144, 176), dtype=np.uint8)
+    im1, im2 = base[:128, :160], base[2:130, 3:163]
+    flows = {}
+    for cost in ("sad", "zsad"):
+        cfg = MotionConfig(
+            block_sizes=(16, 16), search_sizes=(32, 32), interp_factor=1,
+            regularizer="windowed", rival_window=True, cost=cost,
+        )
+        flows[cost] = np.asarray(engine.estimate_flow_driver(im1, im2, cfg))
+    np.testing.assert_array_equal(
+        flows["sad"][40:-40, 40:-40], flows["zsad"][40:-40, 40:-40]
+    )
+
+
 def test_rival_radius_per_level_tuple_equals_scalar(rng):
     # a uniform per-level tuple must be BIT-IDENTICAL to the scalar setting
     # (pure plumbing: cfg.rival_radius_at resolves the same radius per level)
