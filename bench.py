@@ -4,15 +4,16 @@ Workload: a batch of eight 1080p (1080x1920) grayscale frame pairs through the f
 configuration - 4-level pyramid, 32px blocks, 64px search windows (the
 reference's shipped config, main_class.cpp:19-21, minus the 4x Middlebury
 interpolation trick), windowed regularization (the gather-free TPU schedule)
-WITH rival windows (radius 8) to 1px blocks.  This is the accuracy-qualified
-production config: rival windows close the windowed-vs-fourcolor gap at
-motion discontinuities (EVAL_full.md: 0.0188 mean-EPE gap at r8 vs 0.0953
-without), and the hybrid rival kernel (dense main CV + slab-recomputed
-rival candidates, kernels/fused_step.py) runs it at B=8 with no second
-cost volume.  The config default also enables r_store (cv_store_radius=8):
-the cur=2 volume keeps only a reduced column-delta band, tail candidates
-recomputed bit-exactly from the window slab (measured bit-equal to dense,
-scripts/tpu_rstore_bench.py).
+WITH rival windows to 1px blocks.  This is the accuracy-qualified
+production config = the library DEFAULT MotionConfig(): the per-level
+rival-radius schedule (12, full, 8, 8) closes the windowed-vs-fourcolor
+gap to 0.0087 mean EPE / 0.0317 worst-sequence (EVAL_full.md; r8 was
+0.0188/0.0735, no-rival 0.0953), and the hybrid rival kernel (dense main
+CV + slab-recomputed rival candidates, kernels/fused_step.py) runs it at
+B=8 with no second cost volume.  The default also enables r_store
+(cv_store_radius=8): the cur=2 volume keeps only a reduced column-delta
+band, tail candidates recomputed bit-exactly from the window slab
+(measured bit-equal to dense, scripts/tpu_rstore_bench.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -70,8 +71,9 @@ def main() -> None:
         search_sizes=(64, 64, 64, 64),
         interp_factor=1,
         regularizer="windowed",  # the TPU production fast path
-        rival_window=True,       # accuracy-qualified: <=0.02 EPE gap (r8)
-        rival_radius=8,
+        rival_window=True,       # accuracy-qualified (see EVAL_full.md)
+        # rival_radius / cv_store_radius: the shipped defaults (the bench
+        # IS the default MotionConfig at the reference's frame geometry)
     )
     rng = np.random.default_rng(0)
     B = 8  # production throughput batch (B-scaling measured: 8.7/10.3/10.7/10.8 fields/s at B=2/4/6/8): one jitted program, B fields

@@ -71,13 +71,15 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
                    default=True,
                    help="rival windows: close the windowed path's accuracy "
                         "gap at motion discontinuities (see config docs)")
-    p.add_argument("--rival-radius", type=_rival_radius_arg, default=8,
+    p.add_argument("--rival-radius", type=_rival_radius_arg,
+                   default=(12, None, 8, 8),
                    help="rival window radius: one int for every level, or a "
                         "comma list finest-first with 'full' for the level's "
-                        "primary radius (e.g. '8,8,full,full' - full-radius "
-                        "rival on the cheap coarse levels recovers the "
-                        "large-motion accuracy a truncated radius loses, "
-                        "EVAL_full.md Urban2/Urban3)")
+                        "primary radius (a short list repeats its last entry "
+                        "for deeper levels).  Default '12,full,8,8' - the "
+                        "measured accuracy/throughput knee; the large-motion "
+                        "accuracy lives at level 1 (EVAL_full.md "
+                        "Urban2/Urban3)")
     p.add_argument("--mv-cap", type=int, default=None,
                    help="cap cross-level MV predictions (bounds tiled halos)")
     p.add_argument("--cv-compact", type=int, default=None,

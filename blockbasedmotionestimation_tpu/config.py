@@ -116,7 +116,15 @@ class MotionConfig:
         coarse levels have few parents, so full radius there is nearly
         free and recovers most of the large-motion accuracy that a
         single truncated radius loses (EVAL_full.md Urban2/Urban3) while
-        the fine levels keep the cheap radius.
+        the fine levels keep the cheap radius.  A tuple shorter than the
+        pyramid repeats its LAST entry for the deeper levels (so the
+        4-level default applies sensibly to other level counts).  The
+        shipped default ``(12, None, 8, 8)`` is the measured
+        accuracy/throughput knee (EVAL_full.md: mean gap to unrestricted
+        evaluation 0.0087, worst-sequence 0.0317, 31.1 fields/s at the
+        1080p B=8 bench): the large-motion accuracy lives at LEVEL 1
+        (full radius there), levels 2/3 are accuracy-neutral (so they
+        keep radius 8), and a small level-0 bump to 12 buys the rest.
       cv_store_radius: r_store traffic mode for the production hybrid
         path (``windowed`` + ``rival_window`` + pallas).  The cur=2 cost
         volume - the pipeline's HBM dominator (~1.2 GB/1080p field written
@@ -161,7 +169,7 @@ class MotionConfig:
     reg_radius: int | None = None
     window_center: Literal["pred", "search"] = "pred"
     rival_window: bool = True
-    rival_radius: int | tuple[int | None, ...] | None = 8
+    rival_radius: int | tuple[int | None, ...] | None = (12, None, 8, 8)
     mv_cap: int | None = None
     cv_store_radius: int | None = 8
     cv_compact: int | None = None
@@ -184,12 +192,8 @@ class MotionConfig:
         if self.interp_factor < 1:
             raise ValueError("interp_factor must be >= 1")
         if isinstance(self.rival_radius, tuple):
-            if len(self.rival_radius) != len(self.block_sizes):
-                raise ValueError(
-                    "per-level rival_radius needs one entry per pyramid "
-                    f"level, got {len(self.rival_radius)} for "
-                    f"{len(self.block_sizes)} levels"
-                )
+            if not self.rival_radius:
+                raise ValueError("per-level rival_radius tuple cannot be empty")
             for r in self.rival_radius:
                 if r is not None and r < 0:
                     raise ValueError("rival_radius entries must be >= 0 or None")
@@ -235,7 +239,8 @@ class MotionConfig:
         """Rival radius for one pyramid level (level 0 = finest): the scalar
         setting everywhere, or the level's entry of a per-level tuple."""
         if isinstance(self.rival_radius, tuple):
-            return self.rival_radius[level]
+            # last entry extends to deeper levels (see class docstring)
+            return self.rival_radius[min(level, len(self.rival_radius) - 1)]
         return self.rival_radius
 
     def replace(self, **kw) -> "MotionConfig":

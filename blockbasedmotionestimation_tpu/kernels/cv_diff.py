@@ -205,6 +205,22 @@ def _diff_kernel_static(patches_ref, wplanes_ref, *out_refs, bs, ext,
     # the dx restriction is purely static and already halves the volume.
     off2 = 0 if store_r2 is None else r - store_r2
     ss2 = side if store_r2 is None else 2 * store_r2 + 1
+
+    # memoize the (plane, sublane-offset) window slices: the (c, off) pairs
+    # repeat ~4x across the (p, dx) loop, and each non-8-aligned slice of
+    # the (bs, cols//4, cb) plane is a cross-sublane relayout.  Measured
+    # (r5): -18% on the isolated single-output L0 probe
+    # (scripts/tpu_cv_split2.py main 5.0 -> 4.1 ms), NEUTRAL in the full
+    # production kernel (cv_build 12.14 ms/field before and after - the
+    # dual-output store path, not the relayouts, bounds it there).  Kept:
+    # values identical, strictly fewer emitted ops.
+    _slices = {}
+
+    def shifted(c, off):
+        if (c, off) not in _slices:
+            _slices[(c, off)] = wq[c][:, off : off + q4, :].astype(wt)
+        return _slices[(c, off)]
+
     for dx in range(side):
         halves = []
         for bx in range(2):
@@ -212,7 +228,7 @@ def _diff_kernel_static(patches_ref, wplanes_ref, *out_refs, bs, ext,
             for p in (2 * bx, 2 * bx + 1):
                 c = (p + dx) % 4
                 off = (p + dx) // 4
-                d = bp[p] - wq[c][:, off : off + q4, :].astype(wt)
+                d = bp[p] - shifted(c, off)
                 d = jnp.abs(d) if cost == "sad" else d * d
                 acc = d if acc is None else acc + d
             halves.append(acc.reshape(s2, 2, q4, cb).sum(axis=1))
@@ -278,12 +294,20 @@ def _diff_kernel_bs_only(patches_ref, wplanes_ref, obs_ref, *, bs, ext, r,
     wq = [wplanes_ref[c, pl.ds(ext - r + dy, bs), :, :] for c in range(4)]
 
     dt = obs_ref.dtype
+
+    # memoized (plane, offset) slices - see _diff_kernel_static
+    _slices = {}
+
+    def shifted(c, off):
+        if (c, off) not in _slices:
+            _slices[(c, off)] = wq[c][:, off : off + q4, :].astype(jnp.int32)
+        return _slices[(c, off)]
     for dx in range(side):
         acc = None
         for p in range(4):
             c = (p + dx) % 4
             off = (p + dx) // 4
-            d = bp[p] - wq[c][:, off : off + q4, :].astype(jnp.int32)
+            d = bp[p] - shifted(c, off)
             d = jnp.abs(d) if cost == "sad" else d * d
             acc = d if acc is None else acc + d
         pool = acc  # (bs, q4, cb)
@@ -378,6 +402,14 @@ def _diff_kernel_deep(patches_ref, wplanes_ref, *out_refs, bs, ext, r, cost,
     bp = [patches_ref[p].astype(wt) for p in range(4)]
     wq = [wplanes_ref[c, pl.ds(ext - r + dy, bs), :, :] for c in range(4)]
 
+
+    # memoized (plane, offset) slices - see _diff_kernel_static
+    _slices = {}
+
+    def shifted(c, off):
+        if (c, off) not in _slices:
+            _slices[(c, off)] = wq[c][:, off : off + q4, :].astype(wt)
+        return _slices[(c, off)]
     for dx in range(side):
         halves = []
         for bx in range(2):
@@ -385,7 +417,7 @@ def _diff_kernel_deep(patches_ref, wplanes_ref, *out_refs, bs, ext, r, cost,
             for p in (2 * bx, 2 * bx + 1):
                 c = (p + dx) % 4
                 off = (p + dx) // 4
-                d = bp[p] - wq[c][:, off : off + q4, :].astype(wt)
+                d = bp[p] - shifted(c, off)
                 d = jnp.abs(d) if cost == "sad" else d * d
                 acc = d if acc is None else acc + d
             halves.append(acc.reshape(s2, 2, q4, cb).sum(axis=1))

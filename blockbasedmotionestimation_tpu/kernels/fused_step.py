@@ -137,46 +137,73 @@ def _pool_select_color(halves, bs: int, cur: int, ci, cj):
     return jnp.where(cj == 0, mr2[:, :, 0], mr2[:, :, 1])   # (s2, s2, cb)
 
 
+def _group_row_bounds(key, side):
+    """Per-4-column-group row bounds of the valid (key >= 0) candidates.
+
+    One rectangle over the whole chunk (the r3/r4 form) pays for its
+    OUTLIERS: the 128-parent lane chunks span full parent rows, so a
+    single frame-border junk candidate at a far corner made every visit
+    loop walk the full rectangle between it and the main cluster -
+    measured 3.0 ms/field of the production bench's 32.4 (ablation ladder
+    BBME_FUSED_NOLOOP, r5).  Bounding the delta ROWS separately per
+    4-wide column group visits scattered candidates in near-constant
+    work: an empty group costs one pl.when branch, an outlier costs its
+    own 1-row group visit instead of inflating the cluster's.
+
+    Returns [(g, gymin, gymax), ...] for the static group unroll.
+    """
+    kd = key >= 0
+    dyi = key // side
+    dxi = key - dyi * side
+    ngroups4 = (side + 3) // 4
+    out = []
+    for g in range(ngroups4):
+        in_g = kd & (dxi >= 4 * g) & (dxi < 4 * (g + 1))
+        gymin = jnp.min(jnp.where(in_g, dyi, _I32_BIG))
+        gymax = jnp.max(jnp.where(in_g, dyi, -_I32_BIG))
+        out.append((g, gymin, gymax))
+    return out
+
+
 def _accumulate_bbox(
-    acc_ref, wslab_ref, bp, key, dmin_y, dmax_y, dmin_x, dmax_x,
+    acc_ref, wslab_ref, bp, key,
     *, bs: int, ext: int, r: int, side: int, cur: int, cost: str, ci, cj,
 ):
-    """Visit the candidate bbox [dmin_y..dmax_y] x [dmin_x..dmax_x]
-    (CV-index coords): compute pooled color-cell costs from the VMEM window
+    """Visit the valid candidates of ``key`` (CV-index coords dy*side+dx,
+    -1 = skip): compute pooled color-cell costs from the VMEM window
     planes and one-hot accumulate them into the 9-candidate acc wherever
     ``key`` matches.
 
     Structure: a STATIC unroll over 4-wide column groups, each gated ONCE
-    by ``pl.when`` on the column bbox (fine rounds' bboxes are typically
-    1-3 columns wide, so most of a 33-column window's compute is skipped
-    by the branch, not predicated); inside an active group, ONE dynamic
-    fori_loop over the bbox's delta rows with the 9-candidate acc as the
-    loop carry (kept resident across rows - no per-row read-modify-write).
-    Every memory slice is static except the row offset (dim 2, above the
-    tiled (sublane, lane) pair, so no alignment proof is needed); the
-    pre-split x-parity planes give static plane indices ((p + j) % 4 with
-    j static) and static sublane offsets.  Earlier variants paid dearly
-    elsewhere: a per-delta predicated form RMW'd the acc through VMEM per
-    delta (~5x slower end to end); a lane-minor 8-delta-group form paid
-    ~9 us per group in reshape relayouts; a dynamic sublane-offset group
-    load is rejected by Mosaic (offsets in the sublane dim must be
-    provably 8-aligned); a row-at-a-time static unroll of all ``side``
-    columns wasted ~4x the compute on out-of-bbox deltas and paid the
-    9 branch checks per row instead of once.
+    by ``pl.when`` on the group's OWN row bounds (``_group_row_bounds``:
+    fine rounds' candidates are typically a tight cluster plus scattered
+    border junk, so most groups skip entirely and no group walks the
+    cluster-to-outlier rectangle); inside an active group, ONE dynamic
+    fori_loop over that group's delta rows with the 9-candidate acc as
+    the loop carry (kept resident across rows - no per-row
+    read-modify-write).  Every memory slice is static except the row
+    offset (dim 2, above the tiled (sublane, lane) pair, so no alignment
+    proof is needed); the pre-split x-parity planes give static plane
+    indices ((p + j) % 4 with j static) and static sublane offsets.
+    Earlier variants paid dearly elsewhere: a per-delta predicated form
+    RMW'd the acc through VMEM per delta (~5x slower end to end); a
+    lane-minor 8-delta-group form paid ~9 us per group in reshape
+    relayouts; a dynamic sublane-offset group load is rejected by Mosaic
+    (offsets in the sublane dim must be provably 8-aligned); a
+    row-at-a-time static unroll of all ``side`` columns wasted ~4x the
+    compute on out-of-bbox deltas and paid the 9 branch checks per row
+    instead of once.
     """
     q4 = bs // 4
     s2h = bs // 2
     cb = bp[0].shape[-1]
     if _SKIP_BBOX:
         return
-    ngroups4 = (side + 3) // 4
-    gmin4 = dmin_x // 4
-    gmax4 = dmax_x // 4
 
-    for g in range(ngroups4):
+    for g, gymin, gymax in _group_row_bounds(key, side):
 
-        @pl.when(jnp.logical_and(g >= gmin4, g <= gmax4))
-        def _(g=g):
+        @pl.when(gymax >= gymin)
+        def _(g=g, gymin=gymin, gymax=gymax):
             def rowg_body(dyi, acc):
                 wq = [
                     wslab_ref[
@@ -206,7 +233,32 @@ def _accumulate_bbox(
                 return acc
 
             acc_ref[...] = jax.lax.fori_loop(
-                dmin_y, dmax_y + 1, rowg_body, acc_ref[...]
+                gymin, gymax + 1, rowg_body, acc_ref[...]
+            )
+
+
+def _pick_grouped(acc_ref, key, side, read_v):
+    """Dense-CV one-hot pick over the valid candidates of ``key``, visited
+    with the same per-column-group row bounds as ``_accumulate_bbox``
+    (one whole-chunk rectangle walked cluster-to-outlier before, r5).
+    ``read_v(dyi, dxi)`` returns the CV value vector at index coords."""
+    if _SKIP_BBOX:
+        return
+    for g, gymin, gymax in _group_row_bounds(key, side):
+
+        @pl.when(gymax >= gymin)
+        def _(g=g, gymin=gymin, gymax=gymax):
+            def row_body(dyi, acc):
+                for j in range(4):
+                    dxi = 4 * g + j
+                    if dxi >= side:
+                        continue
+                    v = read_v(dyi, dxi)
+                    acc = jnp.where(key == dyi * side + dxi, v[None], acc)
+                return acc
+
+            acc_ref[...] = jax.lax.fori_loop(
+                gymin, gymax + 1, row_body, acc_ref[...]
             )
 
 
@@ -252,22 +304,16 @@ def _kernel_pm_fused(
     in_window = (ddx >= -r) & (ddx <= r) & (ddy >= -r) & (ddy <= r)
     key = jnp.where(in_window, (ddy + r) * side + (ddx + r), -1)
 
-    bound_on = in_window & (present != 0)
-    ymin = jnp.min(jnp.where(bound_on, ddy, _I32_BIG)) + r
-    ymax = jnp.max(jnp.where(bound_on, ddy, -_I32_BIG)) + r
-    xmin = jnp.min(jnp.where(bound_on, ddx, _I32_BIG)) + r
-    xmax = jnp.max(jnp.where(bound_on, ddx, -_I32_BIG)) + r
-
     acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.int32)
     bp = [patches_ref[0, p].astype(jnp.int32) for p in range(4)]
     _accumulate_bbox(
-        acc_ref, wslab_ref, bp, key, ymin, ymax, xmin, xmax,
+        acc_ref, wslab_ref, bp, jnp.where(present != 0, key, -1),
         bs=bs, ext=ext, r=r, side=side, cur=cur, cost=cost, ci=ci, cj=cj,
     )
     costs = acc_ref[...]
 
     if _ABLATE == "nofinish":
-        out_ref[0, 0] = cx[0] + costs[0] + ymin + xmin
+        out_ref[0, 0] = cx[0] + costs[0]
         out_ref[0, 1] = cy[0] + key[0]
         return
 
@@ -322,24 +368,14 @@ def _kernel_pm_fused_rival(
     acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.int32)
     bp = [patches_ref[0, p].astype(jnp.int32) for p in range(4)]
 
-    bound_on = in_window & (present != 0)
-    ymin = jnp.min(jnp.where(bound_on, ddy, _I32_BIG)) + r
-    ymax = jnp.max(jnp.where(bound_on, ddy, -_I32_BIG)) + r
-    xmin = jnp.min(jnp.where(bound_on, ddx, _I32_BIG)) + r
-    xmax = jnp.max(jnp.where(bound_on, ddx, -_I32_BIG)) + r
     _accumulate_bbox(
-        acc_ref, wslab_ref, bp, key, ymin, ymax, xmin, xmax,
+        acc_ref, wslab_ref, bp, jnp.where(present != 0, key, -1),
         bs=bs, ext=ext, r=r, side=side, cur=cur, cost=cost, ci=ci, cj=cj,
     )
 
-    # rival bbox: empty on smooth tiles (no own-excluded candidate)
-    bound_r = (key_r >= 0) & (present != 0)
-    rymin = jnp.min(jnp.where(bound_r, rdy, _I32_BIG)) + r2
-    rymax = jnp.max(jnp.where(bound_r, rdy, -_I32_BIG)) + r2
-    rxmin = jnp.min(jnp.where(bound_r, rdx, _I32_BIG)) + r2
-    rxmax = jnp.max(jnp.where(bound_r, rdx, -_I32_BIG)) + r2
+    # rival visits: empty on smooth tiles (no own-excluded candidate)
     _accumulate_bbox(
-        acc_ref, rwslab_ref, bp, key_r, rymin, rymax, rxmin, rxmax,
+        acc_ref, rwslab_ref, bp, jnp.where(present != 0, key_r, -1),
         bs=bs, ext=r2, r=r2, side=side2, cur=cur, cost=cost, ci=ci, cj=cj,
     )
     costs = acc_ref[...]
@@ -593,35 +629,17 @@ def _kernel_pm_hybrid(
         in_rival & ~in_window, (rdy + r2) * side2 + (rdx + r2), -1
     )
 
-    # main window: dense CV one-hot pick over the candidate bbox
-    bound_on = in_window & (present != 0)
-    ymin = jnp.min(jnp.where(bound_on, ddy, _I32_BIG))
-    ymax = jnp.max(jnp.where(bound_on, ddy, -_I32_BIG))
-    xmin = jnp.min(jnp.where(bound_on, ddx, _I32_BIG))
-    xmax = jnp.max(jnp.where(bound_on, ddx, -_I32_BIG))
+    # main window: dense CV one-hot pick over the per-group candidate rows
     acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.int32)
+    _pick_grouped(
+        acc_ref, jnp.where(present != 0, key, -1), side,
+        lambda dyi, dxi: cv_ref[:, 0, 0, 0, dyi, dxi].astype(jnp.int32),
+    )
 
-    def pick_row(dy, _):
-        def pick_col(dx, __):
-            s = (dy + r) * side + (dx + r)
-            v = cv_ref[:, 0, 0, 0, dy + r, dx + r].astype(jnp.int32)
-            acc_ref[...] = jnp.where(key == s, v[None], acc_ref[...])
-            return 0
-
-        jax.lax.fori_loop(xmin, xmax + 1, pick_col, 0)
-        return 0
-
-    jax.lax.fori_loop(ymin, ymax + 1, pick_row, 0)
-
-    # rival window: slab recompute, empty bbox on smooth tiles
+    # rival window: slab recompute, empty visits on smooth tiles
     bp = [patches_ref[0, p].astype(jnp.int32) for p in range(4)]
-    bound_r = (key_r >= 0) & (present != 0)
-    rymin = jnp.min(jnp.where(bound_r, rdy, _I32_BIG)) + r2
-    rymax = jnp.max(jnp.where(bound_r, rdy, -_I32_BIG)) + r2
-    rxmin = jnp.min(jnp.where(bound_r, rdx, _I32_BIG)) + r2
-    rxmax = jnp.max(jnp.where(bound_r, rdx, -_I32_BIG)) + r2
     _accumulate_bbox(
-        acc_ref, rwslab_ref, bp, key_r, rymin, rymax, rxmin, rxmax,
+        acc_ref, rwslab_ref, bp, jnp.where(present != 0, key_r, -1),
         bs=bs, ext=r2, r=r2, side=side2, cur=cur, cost=cost, ci=ci, cj=cj,
     )
     costs = acc_ref[...]
@@ -708,49 +726,26 @@ def _kernel_pm_hybrid_tail(
         in_rival & ~in_window, (rdy + r2) * side2 + (rdx + r2), -1
     )
 
-    # stored band: dense CV one-hot pick over the in-band candidate bbox
-    bound_s = in_stored & (present != 0)
-    ymin = jnp.min(jnp.where(bound_s, ddy, _I32_BIG))
-    ymax = jnp.max(jnp.where(bound_s, ddy, -_I32_BIG))
-    xmin = jnp.min(jnp.where(bound_s, ddx, _I32_BIG))
-    xmax = jnp.max(jnp.where(bound_s, ddx, -_I32_BIG))
+    # stored band: dense CV one-hot pick over the per-group candidate rows
     acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.int32)
-
-    def pick_row(dy, _):
-        def pick_col(dx, __):
-            s = (dy + r) * side_st + (dx + r_st)
-            v = cv_ref[:, 0, 0, 0, dy + r, dx + r_st].astype(jnp.int32)
-            acc_ref[...] = jnp.where(key_s == s, v[None], acc_ref[...])
-            return 0
-
-        jax.lax.fori_loop(xmin, xmax + 1, pick_col, 0)
-        return 0
-
-    jax.lax.fori_loop(ymin, ymax + 1, pick_row, 0)
+    _pick_grouped(
+        acc_ref, jnp.where(present != 0, key_s, -1), side_st,
+        lambda dyi, dxi: cv_ref[:, 0, 0, 0, dyi, dxi].astype(jnp.int32),
+    )
 
     bp = [patches_ref[0, p].astype(jnp.int32) for p in range(4)]
 
     # stored-band tail: main-window candidates beyond r_st, recomputed
-    # against the MAIN slab (empty bbox on smooth tiles)
-    bound_t = (key_t >= 0) & (present != 0)
-    tymin = jnp.min(jnp.where(bound_t, ddy, _I32_BIG)) + r
-    tymax = jnp.max(jnp.where(bound_t, ddy, -_I32_BIG)) + r
-    txmin = jnp.min(jnp.where(bound_t, ddx, _I32_BIG)) + r
-    txmax = jnp.max(jnp.where(bound_t, ddx, -_I32_BIG)) + r
+    # against the MAIN slab (empty visits on smooth tiles)
     _accumulate_bbox(
-        acc_ref, wslab_ref, bp, key_t, tymin, tymax, txmin, txmax,
+        acc_ref, wslab_ref, bp, jnp.where(present != 0, key_t, -1),
         bs=bs, ext=ext, r=r, side=side_full, cur=cur, cost=cost,
         ci=ci, cj=cj,
     )
 
-    # rival window: slab recompute, empty bbox on smooth tiles
-    bound_r = (key_r >= 0) & (present != 0)
-    rymin = jnp.min(jnp.where(bound_r, rdy, _I32_BIG)) + r2
-    rymax = jnp.max(jnp.where(bound_r, rdy, -_I32_BIG)) + r2
-    rxmin = jnp.min(jnp.where(bound_r, rdx, _I32_BIG)) + r2
-    rxmax = jnp.max(jnp.where(bound_r, rdx, -_I32_BIG)) + r2
+    # rival window: slab recompute, empty visits on smooth tiles
     _accumulate_bbox(
-        acc_ref, rwslab_ref, bp, key_r, rymin, rymax, rxmin, rxmax,
+        acc_ref, rwslab_ref, bp, jnp.where(present != 0, key_r, -1),
         bs=bs, ext=r2, r=r2, side=side2, cur=cur, cost=cost, ci=ci, cj=cj,
     )
     costs = acc_ref[...]

@@ -184,6 +184,11 @@ def windowed_pipeline_roofline(
         rwin = bs + 2 * rr
         if cfg.rival_window:
             add("rival", hbm_bytes=nblk * rwin * rwin * (1 + 2 + 2))
+            # rival CV build (deep_pooled_cvs): pixel-level diffs over all
+            # (2*rr+1)^2 rival deltas, same 4-op model as the main build
+            # (its own component so the audit can map it onto the trace's
+            # deep_pooled group, which lands in cv_build)
+            add("rival_build", vpu_ops=4 * (2 * rr + 1) ** 2 * h * w)
         cur = bs
         while cur > 1:
             cells = (h // cur) * (w // cur)  # per color step: cells/4

@@ -29,8 +29,7 @@ cfg = MotionConfig(
     search_sizes=(64,) * 4,
     interp_factor=1,
     regularizer="windowed",
-    rival_window=True,
-    rival_radius=8,
+    rival_window=True,  # rival_radius/cv_store_radius: shipped defaults
 )
 rng = np.random.default_rng(0)
 base = rng.integers(0, 256, size=(B, H + 16, W + 16), dtype=np.uint8)

@@ -38,8 +38,7 @@ cfg = MotionConfig(
     search_sizes=(64,) * 4,
     interp_factor=1,
     regularizer="windowed",
-    rival_window=True,
-    rival_radius=8,
+    rival_window=True,  # rival_radius/cv_store_radius: shipped defaults
 )
 rng = np.random.default_rng(0)
 base = rng.integers(0, 256, size=(B, H + 16, W + 16), dtype=np.uint8)
@@ -131,7 +130,7 @@ MAP = {
     "xla_glue(layout copies/fusions)": ["other"],
 }
 model_merge = {
-    "cv_build": fl.get("cv_build", 0),
+    "cv_build": fl.get("cv_build", 0) + fl.get("rival_build", 0),
     "color_steps(cv_stream+operands+rival slabs)": fl.get("cv_stream", 0)
     + fl.get("step_operands", 0) + fl.get("step_compute", 0)
     + fl.get("rival", 0),
@@ -172,6 +171,20 @@ lines += [
     "",
     f"Mapped-op coverage: {mapped_sum/total_ms*100:.0f}% of device time"
     " (the remainder is scan/dispatch bookkeeping inside the while bodies).",
+    "",
+    "## Measured attack ledger (what was tried on each gap; DESIGN.md 7-7f)",
+    "",
+    "| gap | attack | result |",
+    "|---|---|---|",
+    "| cv_build | packed-i16 diff math | DEAD: Mosaic cannot legalize abs/max/cmp on i16 vectors (r3) |",
+    "| cv_build | MXU-SSD correlation volume | DEAD: -23% e2e, B=8 OOM, grouped-conv backend defect (7e, r4) |",
+    "| cv_build | (plane, offset) slice memo in the diff kernels | NEUTRAL in production (12.1 ms/field before/after; -18% on the isolated L0 probe) - kept, values identical (r5) |",
+    "| color_steps | bbox-row-only CV DMA | DEAD: Pallas block-start granularity / skipped-step bookkeeping exceeds the saved bandwidth (7, r3) |",
+    "| color_steps | ablation ladder attribution | recompute loops 3.0 ms/field, energy tail ~0, scalar prologue ~0 (BBME_FUSED_NOLOOP/-ABLATE, r5) |",
+    "| color_steps | per-column-group row bounds for recompute/pick visits | WON: +3.3 fields/s (30.7 -> 34.0; border-junk outliers no longer inflate every chunk rectangle) (r5) |",
+    "| xla_glue | color-plane chunk-major rounds | WON: glue 5.7 -> 4.9 ms/field (r4) |",
+    "| xla_glue | per-step candidate stack | INTRINSIC: in-kernel candidate build needs (s2+2)-row blocks, Mosaic pads back to 2x traffic (7d) |",
+    "| gather | runtime-offset Pallas DMA | DEAD: any runtime source offset crashes the remote Mosaic compiler (7, r3) |",
 ]
 print("\n".join(lines))
 with open(os.path.join(ROOT, "FLOOR.md"), "w") as f:

@@ -335,12 +335,26 @@ def test_rival_radius_per_level_mixed(rng):
 
 
 def test_rival_radius_tuple_validation():
-    with pytest.raises(ValueError, match="per-level rival_radius"):
+    with pytest.raises(ValueError, match="rival_radius"):
         MotionConfig(block_sizes=(8, 8), search_sizes=(24, 24),
-                     interp_factor=1, rival_radius=(4,))
+                     interp_factor=1, rival_radius=())
     with pytest.raises(ValueError, match="rival_radius"):
         MotionConfig(block_sizes=(8, 8), search_sizes=(24, 24),
                      interp_factor=1, rival_radius=(4, -1))
+
+
+def test_rival_radius_tuple_extends_last(rng):
+    # a short tuple repeats its last entry for deeper levels: (4,) on a
+    # 2-level config must equal (4, 4) bit for bit
+    cfg_a = MotionConfig(
+        block_sizes=(8, 8), search_sizes=(24, 24), interp_factor=1,
+        regularizer="windowed", rival_window=True, rival_radius=(4,),
+    )
+    cfg_b = cfg_a.replace(rival_radius=(4, 4))
+    im1, im2 = _pair(rng, 64, 64, dy=2, dx=-3)
+    a = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_a))
+    b = np.asarray(engine.estimate_flow_driver(im1, im2, cfg_b))
+    np.testing.assert_array_equal(a, b)
 
 
 def test_rival_radius_per_level_tiled_equals_untiled(rng):
