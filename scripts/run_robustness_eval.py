@@ -145,9 +145,14 @@ def main() -> None:
     jpath = os.path.join(ROOT, f"EVAL_robust{suffix}.json")
 
     out = {}
+    if os.path.exists(jpath):  # resume: variants already measured are kept
+        with open(jpath) as f:
+            out = json.load(f)["results"]
     for cname, cfg in configs.items():
-        out[cname] = {}
+        out.setdefault(cname, {})
         for vname, kw in VARIANTS.items():
+            if vname in out[cname]:
+                continue
             epes = []
             for seq in seqs:
                 t0 = time.time()
