@@ -90,12 +90,12 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
                         "sub-block sizes <= this in-kernel from VMEM window "
                         "slabs instead of materializing their dense cost "
                         "volumes (bit-exact; typical value 4)")
-    p.add_argument("--cv-store-radius", type=int, default=8,
+    p.add_argument("--cv-store-radius", type=int, default=4,
                    help="r_store: keep only a reduced column-delta band of "
                         "the cur=2 cost volume (the HBM dominator) and "
                         "recompute tail candidates bit-exactly from the "
                         "window slab (hybrid rival path only; bit-exact). "
-                        "Default 8 (the production config); pass a "
+                        "Default 4 (the production config); pass a "
                         "negative value for the dense volume")
 
 

@@ -138,8 +138,11 @@ class MotionConfig:
         discontinuities, so the recompute bboxes are usually empty.
         None = dense (full radius).  Ignored outside the hybrid path
         (the mode self-gates and falls back to the dense volume).
-        Default 8: measured bit-equal to dense and ~8% faster at the
-        1080p B=8 production bench (``scripts/tpu_rstore_bench.py``).
+        Default 4: bit-equal to dense at any radius; r4 measured 8 as
+        the optimum, but the r5 grouped visit bounds made the tail
+        recompute near-free, shifting the knee to 4 (31.9 vs 31.4
+        fields/s at radius 8, ``scripts/tpu_rstore_sweep2.py``; radius
+        0 overloads the tails at 30.5).
       window_center: ``windowed`` mode only.  ``pred`` (default) centers the
         per-parent windows on the truncated prediction - the spiral search's
         own center (``motion_framework.cpp:233-234``) - so ONE pooled
@@ -171,7 +174,7 @@ class MotionConfig:
     rival_window: bool = True
     rival_radius: int | tuple[int | None, ...] | None = (12, None, 8, 8)
     mv_cap: int | None = None
-    cv_store_radius: int | None = 8
+    cv_store_radius: int | None = 4
     cv_compact: int | None = None
     cv_compact_ring: int = 3
     cv_fused: int | None = None
