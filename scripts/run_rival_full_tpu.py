@@ -13,7 +13,8 @@ GT_DIR = "/root/reference/middlebury/gt-flow"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "EVAL_rival_full.json")
 
-cfg = MotionConfig(interp_factor=4, regularizer="windowed", rival_window=True)
+cfg = MotionConfig(interp_factor=4, regularizer="windowed", rival_window=True,
+                   rival_radius=None)  # FULL radius (the default is now a per-level schedule)
 
 results = {}
 for seq in evaluate.SEQUENCES:
