@@ -76,7 +76,9 @@ def main() -> None:
         # IS the default MotionConfig at the reference's frame geometry)
     )
     rng = np.random.default_rng(0)
-    B = 8  # production throughput batch (B-scaling measured: 8.7/10.3/10.7/10.8 fields/s at B=2/4/6/8): one jitted program, B fields
+    B = 8  # production throughput batch: one jitted program, B fields.
+    # B-scaling re-measured r5 at the shipped default: 31.8 at B=8,
+    # 32.0 at B=12 (noise), OOM at B=16 - B=8 remains the choice
     base = rng.integers(0, 256, size=(B, H + 16, W + 16), dtype=np.uint8)
     im1 = jax.device_put(jnp.asarray(base[:, :H, :W]))
     im2 = jax.device_put(jnp.asarray(base[:, 5:5 + H, 9:9 + W]))

@@ -184,6 +184,7 @@ lines += [
     "| color_steps | per-column-group row bounds for recompute/pick visits | WON: +3.3 fields/s (30.7 -> 34.0; border-junk outliers no longer inflate every chunk rectangle) (r5) |",
     "| xla_glue | color-plane chunk-major rounds | WON: glue 5.7 -> 4.9 ms/field (r4) |",
     "| xla_glue | per-step candidate stack | INTRINSIC: in-kernel candidate build needs (s2+2)-row blocks, Mosaic pads back to 2x traffic (7d) |",
+    "| xla_glue | r5 composition audit | DIFFUSE: largest single op 0.19 ms/field; ~2.0 copy + 1.05 fusion + 0.64 reshape + 0.45 pad_add spread over ~40 level-entry staging ops - no single attackable dominator remains |",
     "| gather | runtime-offset Pallas DMA | DEAD: any runtime source offset crashes the remote Mosaic compiler (7, r3) |",
 ]
 print("\n".join(lines))
