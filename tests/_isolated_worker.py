@@ -143,6 +143,35 @@ def main() -> int:
         np.testing.assert_array_equal(a, b)
         print(f"{scenario}: parity ok")
         return 0
+    elif scenario == "tiled2d_cell_rounds_urban":
+        # 2-D capacity parity on REAL flow geometry: Urban2 GT-warp pairs
+        # have motion discontinuities, so rival/tail candidates actually
+        # cross tile boundaries and the corner-extended ghost columns
+        # carry live data (the translation scenarios exercise mostly
+        # border junk).  Bit-exact tiled == untiled.
+        from jax.sharding import Mesh
+
+        from blockbasedmotionestimation_tpu.parallel import tiled
+
+        cfg = MotionConfig(
+            block_sizes=(8, 8), search_sizes=(16, 16), interp_factor=1,
+            regularizer="windowed", rival_window=True,
+            search_impl="pallas_interpret", cv_store_radius=2,
+        )
+        h, w, t, tx = 128, 64, 4, 2
+        assert tiled.im2_halo(cfg, 0) < min(h // t, w // tx)
+        gt = flowio.read_flo(
+            "/root/reference/middlebury/gt-flow/Urban2/flow10.flo"
+        )[:h, :w]
+        im1, im2 = synth.pair_from_gt(gt, rng)
+        mesh = Mesh(np.array(jax.devices()).reshape(t, tx), ("ty", "tx"))
+        a = np.asarray(engine.estimate_flow_padded(im1, im2, cfg))
+        b = np.asarray(
+            tiled.estimate_flow_padded_tiled(im1, im2, cfg, mesh, axis_x="tx")
+        )
+        np.testing.assert_array_equal(a, b)
+        print(f"{scenario}: parity ok")
+        return 0
     elif scenario in (
         "tiled2d_cell_rounds", "tiled2d_cell_rounds_fused",
         "tiled2d_cell_rounds_rstore",

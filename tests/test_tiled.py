@@ -333,6 +333,15 @@ def test_tiled_2d_coarse_fallback(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_tiled_2d_cell_rounds_urban_geometry():
+    # 2-D capacity parity on Urban2 GT-warp geometry: real discontinuities
+    # push rival/tail candidates across tile boundaries, so the
+    # corner-extended ghost columns carry live data
+    from tests.test_windowed import _run_isolated
+
+    _run_isolated("tiled2d_cell_rounds_urban")
+
+
 @pytest.mark.parametrize("fused", ["", "_fused", "_rstore"])
 def test_tiled_2d_pallas_cell_rounds_equal_untiled(fused):
     # 2-D (ty x tx) mesh running the cell-layout rounds and the capacity
