@@ -63,12 +63,17 @@ def _write_md(out: dict, seqs, path: str) -> None:
         "|---|" + "---|" * len(out),
     ]
     for vname in VARIANTS:
-        row = [f"{out[c][vname]['mean']:.4f}" for c in out]
+        row = [
+            f"{out[c][vname]['mean']:.4f}" if vname in out[c] else "n/a"
+            for c in out
+        ]
         lines.append(f"| {vname} | " + " | ".join(row) + " |")
     lines.append("")
     for cname in out:
         clean = out[cname]["clean"]["mean"]
-        worst = max(out[cname][v]["mean"] for v in VARIANTS)
+        worst = max(
+            out[cname][v]["mean"] for v in VARIANTS if v in out[cname]
+        )
         lines.append(
             f"- **{cname}**: clean {clean:.4f}, worst variant {worst:.4f} "
             f"(degradation {worst - clean:+.4f})."
